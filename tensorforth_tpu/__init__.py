@@ -1,0 +1,29 @@
+"""tensorforth_tpu — a TPU-native rebuild of the tensorForth framework.
+
+An interactive Forth REPL whose data stack holds F32 scalars *and* TPU
+tensor objects.  Three stacked VM tiers provide:
+
+  1. a full eForth interpreter/compiler (dictionary, colon words,
+     control flow) running on the host,
+  2. NumPy/SciPy-tier tensor & linear-algebra words (matmul, GEMM,
+     LU/Gauss-Jordan inverse, solve, det, transpose) dispatching
+     jitted XLA ops and hand-written Pallas kernels on TPU,
+  3. PyTorch-tier NN words (model container, conv2d/linear/pool/
+     batchnorm/upsample layers, backprop, SGD/Adam/AdamW, MNIST/
+     CIFAR-10 loaders, TensorBoard event output).
+
+Reference behavior: chochain/tensorForth (CUDA).  This package is a
+ground-up TPU-first redesign, not a port: device compute goes through
+JAX/XLA/Pallas; the host runtime (interpreter, dictionary, arena
+accounting, event formats) mirrors the reference's observable
+semantics (see SURVEY.md for the file-by-file parity map).
+"""
+
+__version__ = "0.1.0"
+
+from .config import Config  # noqa: F401
+
+
+def repl(*args, **kw):
+    from .cli import main
+    return main(*args, **kw)

@@ -1,0 +1,87 @@
+"""ten4 CLI — option parsing, VM pool, REPL loop.
+
+Reference: src/ten4.{h,cu} + src/opt.h.
+"""
+from __future__ import annotations
+
+import argparse
+import sys as _sys
+
+from .config import Config
+from .system import System
+from .debug import Debug
+from .mu.mmu import MMU
+from .vm.vm import vm_factory, VMState
+
+
+class TensorForth:
+    def __init__(self, fin=None, fout=None, verbose: int = 0,
+                 tb_logdir: str = None, tb_run_id: str = None):
+        self.sys = System.get_sys(fin, fout, verbose)
+        self.sys.mu = MMU.get_mmu()
+        self.sys.db = Debug.get_db(self.sys)
+        if tb_logdir and Config.DO_TB:
+            from .tb.summary import Summary
+            self.sys.tb = Summary(tb_logdir, tb_run_id)
+        level = "net" if (Config.DO_OBJ and Config.DO_NN) else (
+            "tensor" if Config.DO_OBJ else "forth")
+        self.vm = vm_factory(level, 0, self.sys)
+        self.vm.init()
+        self.vm.state = VMState.QUERY
+
+    def run_line(self, line: str):
+        self.sys.load_line(line)
+        self.vm.outer()
+        self.sys.flush()
+        self.sys.mu.sweep()
+
+    def main_loop(self):
+        while self.vm.state != VMState.STOP:
+            if not self.sys.readline():
+                break
+            self.vm.outer()
+            self.sys.flush()
+            self.sys.mu.sweep()
+
+    def teardown(self):
+        if self.sys.tb:
+            self.sys.tb.close()
+        System.free_sys()
+        MMU.free_mmu()
+        Debug.free_db()
+        from .io.aio import AIO
+        AIO.free_io()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="ten4", description="tensorForth on TPU (JAX/XLA/Pallas)")
+    ap.add_argument("-v", "--verbose", type=int, default=0,
+                    help="verbosity 0:off 1:trace 2:detailed")
+    ap.add_argument("-d", "--device", type=int, default=0,
+                    help="device ordinal")
+    ap.add_argument("-t", "--tb-logdir", default=None,
+                    help="TensorBoard log directory")
+    ap.add_argument("-r", "--run-id", default=None,
+                    help="TensorBoard run id")
+    ap.add_argument("-h2", "--list-devices", action="store_true",
+                    help="list devices and properties")
+    args = ap.parse_args(argv)
+
+    if args.list_devices:
+        import jax
+        for d in jax.devices():
+            print(f"  [{d.id}] {d.device_kind} platform={d.platform}")
+        return 0
+
+    t4 = TensorForth(verbose=args.verbose,
+                     tb_logdir=args.tb_logdir, tb_run_id=args.run_id)
+    try:
+        t4.main_loop()
+    finally:
+        t4.teardown()
+    return 0
+
+
+if __name__ == "__main__":
+    _sys.exit(main())

@@ -1,0 +1,47 @@
+"""Global configuration (mirrors reference src/ten4_config.h compile-time flags).
+
+All sizes are runtime-configurable here instead of compile-time #defines.
+"""
+import os
+
+
+class Config:
+    # --- capability tiers (reference: T4_DO_OBJ / T4_DO_MATH / T4_DO_NN / T4_DO_TB)
+    DO_OBJ  = True
+    DO_MATH = True
+    DO_NN   = True
+    DO_TB   = True
+
+    # --- sizing (reference: ten4_config.h)
+    SS_SZ    = 64          # data stack depth        (T4_SS_SZ)
+    RS_SZ    = 64          # return stack depth      (T4_RS_SZ)
+    DICT_SZ  = 1024        # dictionary entries      (T4_DICT_SZ)
+    PMEM_SZ  = 1 << 16     # parameter memory bytes  (T4_PMEM_SZ=48K; we round to 64K)
+    NET_SZ   = 128         # max layers per model    (T4_NET_SZ)
+    TFREE_SZ = 1024        # deferred-free list size (T4_TFREE_SZ)
+    OSTORE_SZ = 2 << 30    # object-store arena size (T4_OSTORE_SZ, accounting only)
+    IBUF_SZ  = 1 << 16     # terminal input buffer
+
+    # --- numerics
+    DU_EPS = 1.0e-6        # epsilon compare (reference ten4_types.h:85)
+
+    # --- printing (reference io/aio.h:80-82)
+    PRINT_THRES = 10       # max cells per dimension before elision
+    PRINT_EDGE  = 3        # edge items shown when eliding
+    PRINT_PREC  = 4        # fixed decimals in tensor pretty-print
+
+    # --- deterministic init for QA (reference ten4_config.h MM_DEBUG)
+    MM_DEBUG = bool(int(os.environ.get("T4_MM_DEBUG", "0")))
+
+    # --- dataset search roots (reference hard-codes ./data; we search a few)
+    DATA_ROOTS = [
+        os.environ.get("T4_DATA", ""),
+        "./data",
+        os.path.expanduser("~/data"),
+        "/root/data",
+    ]
+    # allow synthetic dataset fallback when corpus files are missing
+    ALLOW_SYNTHETIC_DATA = bool(int(os.environ.get("T4_SYNTH_DATA", "1")))
+
+    APP_NAME = "tensorForth-tpu"
+    VERSION  = "0.1.0"

@@ -1,0 +1,125 @@
+"""Tensor — rank-1/2/4 row-major NHWC F32 tensor object backed by a JAX
+device array.
+
+Reference behavior: src/mu/tensor.{h,cu} + src/t4base.h.  The header
+(shape/rank/grad slots/stride/params) lives on host; the payload is an
+immutable ``jax.Array`` on TPU — "destructive" reference semantics are
+realized by swapping the payload in place, so stack views (which alias
+the same Tensor object) observe mutations exactly like the reference's
+shared-pointer views.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+
+
+class T4Type:
+    TENSOR, MODEL, DATASET, XXX = range(4)
+
+
+class Tensor:
+    """host header + device payload"""
+
+    def __init__(self, *dims, oid: int = 0):
+        dims = tuple(int(d) for d in dims)
+        if len(dims) not in (1, 2, 4):
+            raise ValueError(f"rank {len(dims)} not supported")
+        self.oid = oid
+        self.ttype = T4Type.TENSOR
+        self.rank = len(dims)
+        self.shape = dims
+        self.data = None                   # jax.Array, logical shape
+        # layer-tensor extensions (reference tensor.h:53-57)
+        self.grad_fn = None                # t4_layer tag when part of a model
+        self.grad = [None] * 5             # w, b, dw, db, extra(mask/xhat)
+        self.mtum = [None] * 5             # momentum/velocity (+tmp)
+        self.stride = [1, 1, 1, 1]         # conv stride/padding storage
+        self.xparm = 0.0
+        self.iparm = 0
+        self.train = 1
+        self.err = 0
+
+    # --- dimensional accessors (reference NHWC) ---------------------------
+    @property
+    def numel(self) -> int:
+        n = 1
+        for d in self.shape:
+            n *= d
+        return n
+
+    def N(self) -> int:
+        return self.shape[0] if self.rank == 4 else 1
+
+    def H(self) -> int:
+        if self.rank == 4:
+            return self.shape[1]
+        if self.rank == 2:
+            return self.shape[0]
+        return 1
+
+    def W(self) -> int:
+        if self.rank == 4:
+            return self.shape[2]
+        if self.rank == 2:
+            return self.shape[1]
+        return self.numel
+
+    def C(self) -> int:
+        return self.shape[3] if self.rank == 4 else 1
+
+    def HWC(self) -> int:
+        return self.numel // self.N()
+
+    def is_tensor(self) -> bool:
+        return self.ttype == T4Type.TENSOR
+
+    def is_model(self) -> bool:
+        return self.ttype == T4Type.MODEL
+
+    def is_dataset(self) -> bool:
+        return self.ttype == T4Type.DATASET
+
+    def is_same_shape(self, other: "Tensor") -> bool:
+        return self.shape == other.shape
+
+    # --- payload management ------------------------------------------------
+    def ensure_data(self):
+        if self.data is None:
+            import jax.numpy as jnp
+            self.data = jnp.zeros(self.shape, dtype=jnp.float32)
+        return self.data
+
+    def replace_data(self, arr):
+        """destructive update — views alias this object and see the change"""
+        if tuple(arr.shape) != self.shape:
+            arr = arr.reshape(self.shape)
+        self.data = arr
+        return self
+
+    def numpy(self) -> np.ndarray:
+        return np.asarray(self.ensure_data(), dtype=np.float32)
+
+    def set_numpy(self, a: np.ndarray):
+        import jax.numpy as jnp
+        self.data = jnp.asarray(a, dtype=jnp.float32).reshape(self.shape)
+        return self
+
+    # --- reshape (header-only, payload reshaped lazily) ---------------------
+    def reshape(self, *dims) -> "Tensor":
+        dims = tuple(int(d) for d in dims)
+        n = 1
+        for d in dims:
+            n *= d
+        if n != self.numel:
+            raise ValueError(f"reshape {self.shape} -> {dims} numel mismatch")
+        if self.data is not None:
+            self.data = self.data.reshape(dims)
+        self.shape = dims
+        self.rank = len(dims)
+        return self
+
+    def __repr__(self):
+        t = "TND?"[self.ttype]
+        return f"<{t}{self.rank}{list(self.shape)} oid={self.oid}>"
