@@ -96,6 +96,8 @@ class Tensor:
         if tuple(arr.shape) != self.shape:
             arr = arr.reshape(self.shape)
         self.data = arr
+        from ..ops.engine import track
+        track(arr)
         return self
 
     def numpy(self) -> np.ndarray:

@@ -1,0 +1,96 @@
+"""Hand-written Pallas GEMM kernels for the MXU.
+
+The reference ships four CUDA GEMM generations behind the ``gemm1..4``
+words for A/B comparison (src/t4math.cu:371-734, table in
+src/mu/tensor.cu:89-95).  The TPU equivalents:
+
+  variant 2: single-pass block matmul — whole K panel resident in VMEM,
+             grid over 128x128 output tiles.
+  variant 3: K-blocked accumulation — 3D grid with an f32 VMEM
+             accumulator scratch (the production shape).
+  variant 4: wide tiles (256x256xK512) with arbitrary-K dimension
+             semantics so Mosaic pipelines the K loop.
+
+alpha/beta/transpose epilogue runs in XLA and fuses into the kernel's
+consumer.  Inputs are zero-padded to tile multiples and the result is
+sliced back (cheap relative to the O(n^3) body).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_to(x, m0, m1):
+    p0 = (-x.shape[0]) % m0
+    p1 = (-x.shape[1]) % m1
+    if p0 or p1:
+        x = jnp.pad(x, ((0, p0), (0, p1)))
+    return x
+
+
+def _mm_kernel(a_ref, b_ref, o_ref, acc):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = acc[:]
+
+
+@partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+def _mm_pallas(a, b, bm: int, bn: int, bk: int):
+    m, k = a.shape
+    _, n = b.shape
+    a = _pad_to(a, bm, bk)
+    b = _pad_to(b, bk, bn)
+    mp, kp = a.shape
+    _, np_ = b.shape
+    grid = (mp // bm, np_ // bn, kp // bk)
+    out = pl.pallas_call(
+        _mm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(mp * kp + kp * np_ + mp * np_) * 4,
+            transcendentals=0,
+        ),
+    )(a, b)
+    return out[:m, :n]
+
+
+def mm_pallas(a, b, variant: int = 3):
+    m, k = a.shape
+    _, n = b.shape
+    if variant == 2:
+        return _mm_pallas(a, b, 128, 128, max(k, 128) if k <= 2048 else 512)
+    if variant == 4:
+        bm = 256 if m >= 256 else 128
+        bn = 256 if n >= 256 else 128
+        return _mm_pallas(a, b, bm, bn, 512 if k >= 512 else 128)
+    return _mm_pallas(a, b, 128, 128, 512 if k >= 512 else 128)
+
+
+@partial(jax.jit, static_argnames=("ta", "tb", "variant"))
+def gemm_pallas(a, b, c, alpha, beta, ta=False, tb=False, variant=3):
+    aa = a.T if ta else a
+    bb = b.T if tb else b
+    p = mm_pallas(aa, bb, variant)
+    return alpha * p + beta * c

@@ -636,6 +636,9 @@ class ForthVM(VM):
         CODE("flush", lambda vm: vm.sys.flush())
         CODE("sprintf", lambda vm: vm._sprintf())
         def _clock(vm):
+            if Config.DO_OBJ:                 # barrier: measure completed device work
+                from ..ops.engine import sync
+                sync()
             vm.PUSH(SCALAR(np.float32(System.clock())))
         CODE("clock", _clock)
         def _bye(vm):
