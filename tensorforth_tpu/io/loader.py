@@ -1,0 +1,198 @@
+"""Corpus loaders & registry.
+
+Reference: src/ld/{corpus.h,loader.{h,cpp},mnist.{h,cpp},cifar10.{h,cpp}}.
+Datasets are searched under Config.DATA_ROOTS; when corpus files are
+absent (this container has no MNIST on disk) a deterministic synthetic
+corpus with the same shape/cardinality stands in so the shipped .4th
+scripts still run end-to-end (gate with T4_SYNTH_DATA=0).
+"""
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+
+import numpy as np
+
+from ..config import Config
+
+
+class Corpus:
+    """abstract batch provider: U8 data [size,H,W,C] + U8 labels"""
+
+    def __init__(self):
+        self.H = self.W = self.C = 1
+        self.size = 0
+        self.eof = False
+        self._pos = 0
+
+    def init(self):
+        raise NotImplementedError
+
+    def rewind(self):
+        self._pos = 0
+        self.eof = False
+
+    def fetch(self, batch_sz: int):
+        """returns (data[n,H,W,C] u8-ish, labels[n]) or (None, None) at eof"""
+        if self._pos >= self.size:
+            self.eof = True
+            return None, None
+        n = min(batch_sz, self.size - self._pos)
+        d, l = self._read(self._pos, n)
+        self._pos += n
+        self.eof = self._pos >= self.size
+        return d, l
+
+    def _read(self, pos: int, n: int):
+        raise NotImplementedError
+
+
+def _find(path: str):
+    for root in Config.DATA_ROOTS:
+        if not root:
+            continue
+        p = os.path.join(root, path)
+        if os.path.exists(p):
+            return p
+        if os.path.exists(p + ".gz"):
+            return p + ".gz"
+    return None
+
+
+def _open(p: str):
+    return gzip.open(p, "rb") if p.endswith(".gz") else open(p, "rb")
+
+
+class Mnist(Corpus):
+    """IDX-format reader (reference ld/mnist.cpp big-endian headers)"""
+
+    def __init__(self, img_rel: str, lbl_rel: str):
+        super().__init__()
+        self.img_rel, self.lbl_rel = img_rel, lbl_rel
+        self._img = self._lbl = None
+
+    def available(self) -> bool:
+        return (_find(self.img_rel) is not None
+                and _find(self.lbl_rel) is not None)
+
+    def init(self):
+        if self._img is not None:
+            return
+        with _open(_find(self.img_rel)) as f:
+            magic, n, h, w = struct.unpack(">IIII", f.read(16))
+            assert magic == 0x803, f"bad MNIST image magic {magic:#x}"
+            self._img = np.frombuffer(f.read(n * h * w),
+                                      dtype=np.uint8).reshape(n, h, w, 1)
+        with _open(_find(self.lbl_rel)) as f:
+            magic, n2 = struct.unpack(">II", f.read(8))
+            assert magic == 0x801, f"bad MNIST label magic {magic:#x}"
+            self._lbl = np.frombuffer(f.read(n2), dtype=np.uint8)
+        assert n2 == n, "label/image count mismatch"
+        self.size, self.H, self.W, self.C = n, h, w, 1
+
+    def _read(self, pos: int, n: int):
+        return self._img[pos:pos + n], self._lbl[pos:pos + n]
+
+
+class Cifar10(Corpus):
+    """binary-batch reader: 3073-byte records, NCHW->NHWC transpose
+    (reference ld/cifar10.cpp)"""
+
+    REC = 3073
+
+    def __init__(self, rel: str):
+        super().__init__()
+        self.rel = rel
+        self._data = self._lbl = None
+
+    def available(self) -> bool:
+        return _find(self.rel) is not None
+
+    def init(self):
+        if self._data is not None:
+            return
+        with _open(_find(self.rel)) as f:
+            raw = np.frombuffer(f.read(), dtype=np.uint8)
+        n = len(raw) // self.REC
+        raw = raw[:n * self.REC].reshape(n, self.REC)
+        self._lbl = raw[:, 0].copy()
+        chw = raw[:, 1:].reshape(n, 3, 32, 32)
+        self._data = np.ascontiguousarray(chw.transpose(0, 2, 3, 1))
+        self.size, self.H, self.W, self.C = n, 32, 32, 3
+
+    def _read(self, pos: int, n: int):
+        return self._data[pos:pos + n], self._lbl[pos:pos + n]
+
+
+class Synthetic(Corpus):
+    """deterministic stand-in corpus: 10 classes of seeded prototype
+    images + per-sample noise; learnable to high accuracy by the shipped
+    CNN topologies"""
+
+    def __init__(self, size: int, h: int, w: int, c: int, seed: int):
+        super().__init__()
+        self.size, self.H, self.W, self.C = size, h, w, c
+        rng = np.random.RandomState(1234)
+        self._protos = rng.randint(0, 200, size=(10, h, w, c)).astype(np.uint8)
+        self._seed = seed
+
+    def available(self) -> bool:
+        return True
+
+    def init(self):
+        pass
+
+    def _read(self, pos: int, n: int):
+        idx = np.arange(pos, pos + n)
+        rng = np.random.RandomState(self._seed + pos)
+        lbl = (idx * 7 + (idx // 10) * 3) % 10
+        data = self._protos[lbl].astype(np.int16)
+        data = data + rng.randint(0, 56, size=data.shape).astype(np.int16)
+        return np.clip(data, 0, 255).astype(np.uint8), lbl.astype(np.uint8)
+
+
+class Loader:
+    """name -> Corpus registry (reference ld/loader.cpp)"""
+
+    _map: dict = {}
+
+    @classmethod
+    def init(cls):
+        if cls._map:
+            return
+        cls._map = {
+            "mnist_train": Mnist("MNIST/raw/train-images-idx3-ubyte",
+                                 "MNIST/raw/train-labels-idx1-ubyte"),
+            "mnist_test": Mnist("MNIST/raw/t10k-images-idx3-ubyte",
+                                "MNIST/raw/t10k-labels-idx1-ubyte"),
+            "cifar10_train": Cifar10(
+                "CIFAR10/cifar-10-batches-bin/data_batch.bin"),
+            "cifar10_test": Cifar10(
+                "CIFAR10/cifar-10-batches-bin/test_batch.bin"),
+        }
+
+    _SYNTH = {
+        "mnist_train": (60000, 28, 28, 1, 11),
+        "mnist_test": (10000, 28, 28, 1, 77),
+        "cifar10_train": (50000, 32, 32, 3, 13),
+        "cifar10_test": (10000, 32, 32, 3, 99),
+    }
+
+    @classmethod
+    def get(cls, ds, name: str):
+        cls.init()
+        cp = cls._map.get(name)
+        if cp is not None and cp.available():
+            return cp
+        if Config.ALLOW_SYNTHETIC_DATA and name in cls._SYNTH:
+            from ..system import System
+            System.get_sys().pstr(
+                f"\\ WARN: corpus files for '{name}' not found under "
+                f"{[r for r in Config.DATA_ROOTS if r]}, "
+                f"using deterministic synthetic stand-in\n")
+            key = "synth:" + name
+            if key not in cls._map:
+                cls._map[key] = Synthetic(*cls._SYNTH[name])
+            return cls._map[key]
+        return None

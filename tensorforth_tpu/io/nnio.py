@@ -1,0 +1,144 @@
+"""NN model persistence.
+
+Reference: src/io/aio_model.cpp.  Format (kept intentionally close):
+
+  \\ tensorForth-tpu model        <- comment header
+  <replayable Forth layer line>   <- one line per layer
+  ...
+  <blank line>                    <- section break
+  --- w.<layer>\\n<raw f32 W>      <- per-layer binary parameter sections
+  --- b.<layer>\\n<raw f32 B>
+  \\n---\\n                         <- trailer
+
+Deviation (documented): the reference's header lines are the `_parm`
+debug strings ("bias=0.5, C=2, ...conv2d"), which are not themselves
+interpretable Forth; here each line is *actual* Forth that rebuilds the
+layer (e.g. "0.5 2 conv2d"), which realizes the documented intent of a
+replayable model description.  Load is two-phase like the reference:
+rebuild layers by feeding the header back through the interpreter, then
+stream the binary parameters.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..nn.ntypes import Layer
+
+
+def _layer_forth(t_in, t_out) -> str:
+    """one replayable Forth line for a configured layer"""
+    fn = t_in.grad_fn
+    g = lambda v: f"{float(v):g}"
+    if fn in (Layer.CONV, Layer.DCONV):
+        K, S, P = t_in.grad[0].H(), t_in.stride[0], t_in.stride[2]
+        word = "dconv2d" if fn == Layer.DCONV else (
+            "conv1x1" if K == 1 else "conv2d")
+        if fn == Layer.CONV and K not in (1, 3):
+            return (f"4 vector{{ {K} {S} {P} 1 }} "
+                    f"{g(t_in.xparm)} {t_out.C()} conv2d")
+        return f"{g(t_in.xparm)} {t_out.C()} {word}"
+    if fn == Layer.LINEAR:
+        return f"{g(t_in.xparm)} {t_in.grad[0].H()} linear"
+    if fn == Layer.FLATTEN:
+        return "flatten"
+    if fn == Layer.RELU:
+        return "relu"
+    if fn == Layer.TANH:
+        return "tanh"
+    if fn == Layer.SIGMOID:
+        return "sigmoid"
+    if fn == Layer.SELU:
+        return "selu"
+    if fn == Layer.LEAKYRL:
+        return f"{g(t_in.xparm)} leakyrelu"
+    if fn == Layer.ELU:
+        return f"{g(t_in.xparm)} elu"
+    if fn == Layer.DROPOUT:
+        return f"{g(t_in.xparm)} dropout"
+    if fn == Layer.SOFTMAX:
+        return "softmax"
+    if fn == Layer.LOGSMAX:
+        return "logsoftmax"
+    if fn == Layer.AVGPOOL:
+        return f"{t_in.stride[0]} avgpool"
+    if fn == Layer.MAXPOOL:
+        return f"{t_in.stride[0]} maxpool"
+    if fn == Layer.MINPOOL:
+        return f"{t_in.stride[0]} minpool"
+    if fn == Layer.BATCHNM:
+        return f"{g(t_in.xparm)} batchnorm"
+    if fn == Layer.USAMPLE:
+        return f"{t_in.stride[0]} upsample"
+    return ""
+
+
+def _param_layers(m):
+    for i in range(m.numel - 1):
+        t_in = m[i]
+        fn = t_in.grad_fn
+        if fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR):
+            yield t_in, ("w", "b")
+        elif fn == Layer.BATCHNM:
+            yield t_in, ("w",)
+
+
+def nsave(m, fname: str, mode: int = 0) -> int:
+    from ..system import System
+    sys = System.get_sys()
+    try:
+        with open(fname, "wb") as fs:
+            fs.write(f"\\ {Config.APP_NAME} model\n".encode())
+            for i in range(m.numel - 1):
+                fs.write((_layer_forth(m[i], m[i + 1]) + "\n").encode())
+            fs.write(b"\n")
+            for t_in, slots in _param_layers(m):
+                nm = type(m).nname(t_in.grad_fn).strip()
+                for k, s in enumerate(slots):
+                    t = t_in.grad[0 if s == "w" else 1]
+                    fs.write(f"\n--- {s}.{nm}\n".encode())
+                    fs.write(t.numpy().astype("<f4").tobytes())
+            fs.write(b"\n---\n")
+        return 0
+    except OSError as e:
+        sys.perr("", f"nsave {fname}: {e} ")
+        return 1
+
+
+def nload(vm, m, fname: str, mode: int = 0) -> int:
+    from ..system import System
+    sys = System.get_sys()
+    try:
+        with open(fname, "rb") as fs:
+            raw = fs.read()
+    except OSError as e:
+        sys.perr("", f"nload {fname}: {e} ")
+        return 1
+    # phase 1: rebuild layers by interpreting the header (model on TOS)
+    text, _, binary = raw.partition(b"\n\n")
+    if m.numel <= 2:
+        for line in text.decode().split("\n"):
+            line = line.strip()
+            if not line or line.startswith("\\"):
+                continue
+            save_line, save_idx = sys._line, sys._idx
+            sys.load_line(line)
+            vm.outer()
+            sys._line, sys._idx = save_line, save_idx
+    # phase 2: stream binary parameter sections
+    pos = 0
+    for t_in, slots in _param_layers(m):
+        nm = type(m).nname(t_in.grad_fn).strip()
+        for s in slots:
+            t = t_in.grad[0 if s == "w" else 1]
+            marker = f"--- {s}.{nm}\n".encode()
+            idx = binary.find(marker, pos)
+            if idx < 0:
+                sys.perr("", "model format error ")
+                return 1
+            start = idx + len(marker)
+            nbytes = t.numel * 4
+            a = np.frombuffer(binary[start:start + nbytes], dtype="<f4")
+            t.set_numpy(a.copy())
+            pos = start + nbytes
+    return 0

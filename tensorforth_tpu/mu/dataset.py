@@ -1,0 +1,74 @@
+"""Dataset — Tensor subclass with corpus bookkeeping.
+
+Reference: src/mu/dataset.{h,cu}.  Batch data is normalized
+(x - mean) * 1/scale from U8 corpus bytes and placed on device; labels
+stay on host (U32) for onehot/hit.  Dimensions are discovered on the
+first fetch (reference dataset.cu:64-121).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .tensor import Tensor, T4Type
+
+
+class Dataset(Tensor):
+    def __init__(self, batch_sz: int):
+        super().__init__(batch_sz, 1, 1, 1)
+        self.ttype = T4Type.DATASET
+        self.batch_sz = batch_sz
+        self.batch_id = -1
+        self.dataset_size = 0
+        self.done = False
+        self.label = np.zeros(batch_sz, dtype=np.uint32)
+        self._mean = 0.0
+        self._scale = 1.0 / 256.0
+        self._corpus = None
+
+    def normalize(self, mean: float, scale: float):
+        self._mean = float(mean)
+        self._scale = 1.0 / float(scale) if abs(scale) > 1e-12 else 1.0
+
+    def fetch(self, ds_name: str | None = None, rewind: int = 0,
+              trace: int = 0) -> "Dataset":
+        from ..io.loader import Loader
+        if ds_name is not None and self._corpus is None:
+            cp = Loader.get(self, ds_name)
+            if cp is None:
+                from ..system import System
+                System.get_sys().perr("", f"dataset {ds_name}? ")
+                return self
+            self._corpus = cp
+            cp.init()
+            self.reshape(self.batch_sz, cp.H, cp.W, cp.C)
+            self.dataset_size = cp.size
+            self.batch_id = -1
+        cp = self._corpus
+        if cp is None:
+            return self
+        if rewind:
+            cp.rewind()
+            self.batch_id = -1
+            self.done = False
+        data, label = cp.fetch(self.batch_sz)
+        self.done = cp.eof
+        if data is not None:
+            self._load(data, label)
+            self.batch_id += 1
+        return self
+
+    def rewind(self, trace: int = 0):
+        return self.fetch(None, rewind=1, trace=trace)
+
+    def _load(self, data: np.ndarray, label: np.ndarray):
+        n = data.shape[0]
+        d = (data.astype(np.float32) - self._mean) * self._scale
+        if n < self.batch_sz:                      # partial tail batch
+            pad = np.zeros((self.batch_sz - n,) + d.shape[1:], np.float32)
+            d = np.concatenate([d, pad], axis=0)
+            lbl = np.zeros(self.batch_sz, np.uint32)
+            lbl[:n] = label
+        else:
+            lbl = label.astype(np.uint32)
+        self.set_numpy(d.reshape(self.shape))
+        self.label = lbl

@@ -1,0 +1,355 @@
+"""Pure jitted NN compute — whole-network forward, backward, optimizer
+and loss functions.
+
+TPU-first redesign of the reference's per-layer CUDA kernel launches
+(src/nn/forward.cu, backprop.cu, gradient.cu, nmath.{cu,tcu}): the whole
+network is traced into ONE XLA executable per (program, batch-shape)
+signature — convolutions run as MXU conv HLOs, elementwise activations
+fuse into their producers, and the interpreter pays one dispatch per
+``forward``/``backprop``/optimizer word instead of one per layer.
+
+Reference-semantics notes (verified against examples/t4_30b/c expected
+values — these are behavioral contracts, not bugs to fix):
+
+  * backprop treats SIGMOID/SOFTMAX/LOGSMAX as pass-through everywhere
+    (loss-fusion trick, backprop.cu:97-131), and a LINEAR that is the
+    final layer is also pass-through with no weight gradient.
+  * activation backward multiplies by the derivative mask saved during
+    forward (k_activate writes out AND mask in one pass).
+  * SELU forward does not scale the positive branch (nmath.cu:55-57).
+  * dropout masks at rate p keep u>p elements with NO 1/(1-p) rescale,
+    and dropout stays active in test mode.
+  * SGD divides dW by the weight tensor's leading dim (gradient.cu:137
+    passes g.N(): 1 for linear [1,E0,E1,1], C1 for conv filters).
+  * Adam applies no bias correction and no batch division
+    (nmath.cu:439-455).
+  * batchnorm dgamma/dbeta accumulate channel MEANs (k_dbatchnorm_2).
+
+Deviations (documented): LOGSMAX uses the mathematically correct
+x-logsumexp (reference exponentiates first, nmath/forward.cu:245-259);
+ADAMW uses proper decoupled weight decay; DCONV backward computes full
+gradients (reference's reuses the forward kernel and learns nothing).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+
+from .ntypes import Layer
+
+SELU_L = 1.0507009873554805
+SELU_LA = SELU_L * 1.6732632423543772
+BN_EPS = 1.0e-6                  # reference DU_EPS in k_batchnorm_2
+LN_CLAMP = 1.0e-12
+
+
+# ===========================================================================
+# per-layer forward primitives
+# ===========================================================================
+def _conv_fwd(x, w, b, S, P):
+    """x NHWC, w [C1,K,K,C0] (reference filter layout), stride S, pad P"""
+    k = jnp.transpose(w, (1, 2, 0, 3))                 # HWIO
+    y = jax.lax.conv_general_dilated(
+        x, k, (S, S), ((P, P), (P, P)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + b
+
+
+def _dconv_fwd(x, w, b, S, P):
+    """transposed conv (ConvTranspose2d C1->C0, K=4 S=2 P=1 => 2x size)"""
+    k = jnp.transpose(w, (1, 2, 0, 3))
+    y = jax.lax.conv_general_dilated(
+        x, jnp.flip(k, (0, 1)),
+        (1, 1),
+        padding=((k.shape[0] - 1 - P,) * 2, (k.shape[1] - 1 - P,) * 2),
+        lhs_dilation=(S, S),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + b
+
+
+def _linear_fwd(x, w, b):
+    """y[N,E0] = x[N,E1] @ w^T[E1,E0] + b (reference _flinear)"""
+    n = x.shape[0]
+    return jnp.dot(x.reshape(n, -1), w.T,
+                   preferred_element_type=jnp.float32) + b
+
+
+def _activate_fwd(kind, x, alpha):
+    """returns (y, derivative-mask) — reference k_activate"""
+    if kind == Layer.RELU:
+        m = (x > 0.0).astype(jnp.float32)
+        return x * m, m
+    if kind == Layer.TANH:
+        t = jnp.tanh(x)
+        return t, 1.0 - t * t
+    if kind == Layer.SIGMOID:
+        s = jax.nn.sigmoid(x)
+        return s, s * (1.0 - s)
+    if kind == Layer.SELU:
+        neg_f = SELU_LA * jnp.exp(jnp.minimum(x, 0.0))
+        y = jnp.where(x > 0.0, x, neg_f - SELU_LA)
+        m = jnp.where(x > 0.0, SELU_L, neg_f)
+        return y, m
+    if kind == Layer.LEAKYRL:
+        m = jnp.where(x > 0.0, 1.0, alpha)
+        return x * m, m
+    if kind == Layer.ELU:
+        neg_f = alpha * jnp.exp(jnp.minimum(x, 0.0))
+        y = jnp.where(x > 0.0, x, neg_f - alpha)
+        m = jnp.where(x > 0.0, 1.0, neg_f)
+        return y, m
+    raise ValueError(kind)
+
+
+def _dropout_fwd(x, rate, key):
+    u = jax.random.uniform(key, x.shape, dtype=jnp.float32)
+    m = (u > rate).astype(jnp.float32)
+    return x * m, m
+
+
+def _softmax_fwd(x):
+    n = x.shape[0]
+    f = x.reshape(n, -1)
+    return jax.nn.softmax(f, axis=-1).reshape(x.shape)
+
+
+def _logsoftmax_fwd(x):
+    n = x.shape[0]
+    f = x.reshape(n, -1)
+    return jax.nn.log_softmax(f, axis=-1).reshape(x.shape)
+
+
+def _pool_fwd(kind, x, k):
+    """kxk pool, stride k, ceil-mode (reference k_pool, H0=(H+k-1)/k)"""
+    n, h, w, c = x.shape
+    h0, w0 = -(-h // k), -(-w // k)
+    pad = ((0, 0), (0, h0 * k - h), (0, w0 * k - w), (0, 0))
+    wdims, wstr = (1, k, k, 1), (1, k, k, 1)
+    if kind == Layer.MAXPOOL:
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, wdims, wstr, pad)
+    if kind == Layer.MINPOOL:
+        return jax.lax.reduce_window(x, jnp.inf, jax.lax.min, wdims, wstr, pad)
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, wdims, wstr, pad)
+    return s / (k * k)
+
+
+def _upsample_fwd(x, k):
+    """nearest-neighbour k-x upsampling"""
+    return jnp.repeat(jnp.repeat(x, k, axis=1), k, axis=2)
+
+
+def _batchnorm_fwd(x, gamma, beta):
+    """train-mode BN; rvar = 1/(sqrt(pop-var)+eps) (reference k_batchnorm_2)"""
+    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+    var = jnp.mean(x * x, axis=(0, 1, 2), keepdims=True) - mean * mean
+    rvar = 1.0 / (jnp.sqrt(jnp.maximum(var, 0.0)) + BN_EPS)
+    xhat = (x - mean) * rvar
+    return xhat * gamma + beta, xhat, rvar
+
+
+# ===========================================================================
+# whole-network forward
+# ===========================================================================
+def _apply_layer(spec, x, p, key):
+    kind, opts, out_shape = spec
+    if kind == Layer.CONV:
+        return _conv_fwd(x, p[0], p[1], opts[0], opts[1]), None
+    if kind == Layer.DCONV:
+        return _dconv_fwd(x, p[0], p[1], opts[0], opts[1]), None
+    if kind == Layer.LINEAR:
+        return _linear_fwd(x, p[0], p[1]).reshape(out_shape), None
+    if kind == Layer.FLATTEN:
+        return x.reshape(out_shape), None
+    if kind in (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
+                Layer.LEAKYRL, Layer.ELU):
+        y, m = _activate_fwd(kind, x, opts[0])
+        return y, m
+    if kind == Layer.DROPOUT:
+        return _dropout_fwd(x, opts[0], key)
+    if kind == Layer.SOFTMAX:
+        return _softmax_fwd(x), None
+    if kind == Layer.LOGSMAX:
+        return _logsoftmax_fwd(x), None
+    if kind in (Layer.MAXPOOL, Layer.AVGPOOL, Layer.MINPOOL):
+        return _pool_fwd(kind, x, opts[0]), None
+    if kind == Layer.BATCHNM:
+        y, xhat, rvar = _batchnorm_fwd(x, p[0], p[1])
+        return y, (xhat, rvar)
+    if kind == Layer.USAMPLE:
+        return _upsample_fwd(x, opts[0]), None
+    raise ValueError(f"layer kind {kind}")
+
+
+@lru_cache(maxsize=256)
+def get_forward(program):
+    """program: tuple of (kind, opts, out_shape) — returns jitted
+    f(x, params, key) -> (outs, masks)"""
+
+    def fwd(x, params, key):
+        outs, masks = [], []
+        for j, spec in enumerate(program):
+            kj = jax.random.fold_in(key, j)
+            x, m = _apply_layer(spec, x, params[j], kj)
+            x = x.reshape(spec[2])
+            outs.append(x)
+            masks.append(m)
+        return tuple(outs), tuple(masks)
+
+    return jax.jit(fwd)
+
+
+# ===========================================================================
+# whole-network backward
+# ===========================================================================
+_PASS_THRU = (Layer.SIGMOID, Layer.SOFTMAX, Layer.LOGSMAX)
+_MASKED = (Layer.RELU, Layer.TANH, Layer.SELU, Layer.LEAKYRL,
+           Layer.ELU, Layer.DROPOUT)
+
+
+@lru_cache(maxsize=256)
+def get_backward(program, in_shape, train: bool):
+    """returns jitted b(tgt, x0, outs, params, masks, dws, dbs)
+    -> (dout, dxs, dws', dbs')"""
+
+    def bwd(tgt, x0, outs, params, masks, dws, dbs):
+        L = len(program)
+        dxs = [None] * L
+        ndws, ndbs = list(dws), list(dbs)
+        dy = outs[-1] - tgt.reshape(outs[-1].shape)
+        dout = dy
+        for j in range(L - 1, -1, -1):
+            kind, opts, out_shape = program[j]
+            x_in = outs[j - 1] if j > 0 else x0
+            last = (j == L - 1)
+            if kind in _PASS_THRU or (kind == Layer.LINEAR and last):
+                dx = dy.reshape(x_in.shape)
+            elif kind == Layer.FLATTEN:
+                dx = dy.reshape(x_in.shape)
+            elif kind in _MASKED:
+                dx = dy * masks[j]
+            elif kind == Layer.LINEAR:
+                n = x_in.shape[0]
+                xf = x_in.reshape(n, -1)
+                dyf = dy.reshape(n, -1)
+                if train:
+                    ndbs[j] = ndbs[j] + jnp.sum(dyf, axis=0)
+                    ndws[j] = ndws[j] + jnp.dot(
+                        dyf.T, xf, preferred_element_type=jnp.float32)
+                dx = jnp.dot(dyf, params[j][0],
+                             preferred_element_type=jnp.float32
+                             ).reshape(x_in.shape)
+            elif kind in (Layer.CONV, Layer.DCONV):
+                f = _conv_fwd if kind == Layer.CONV else _dconv_fwd
+                _, vjp = jax.vjp(
+                    lambda x_, w_, b_: f(x_, w_, b_, opts[0], opts[1]),
+                    x_in, params[j][0], params[j][1])
+                dx, dw, db = vjp(dy.reshape(out_shape))
+                if train:
+                    ndws[j] = ndws[j] + dw
+                    ndbs[j] = ndbs[j] + db
+            elif kind in (Layer.MAXPOOL, Layer.AVGPOOL, Layer.MINPOOL):
+                _, vjp = jax.vjp(lambda x_: _pool_fwd(kind, x_, opts[0]), x_in)
+                dx, = vjp(dy.reshape(out_shape))
+            elif kind == Layer.USAMPLE:
+                _, vjp = jax.vjp(lambda x_: _upsample_fwd(x_, opts[0]), x_in)
+                dx, = vjp(dy.reshape(out_shape))
+            elif kind == Layer.BATCHNM:
+                xhat, rvar = masks[j]
+                gamma = params[j][0]
+                dyr = dy.reshape(out_shape)
+                m_dy = jnp.mean(dyr, axis=(0, 1, 2))
+                m_dyxh = jnp.mean(dyr * xhat, axis=(0, 1, 2))
+                if train:
+                    ndbs[j] = ndbs[j] + m_dy
+                    ndws[j] = ndws[j] + m_dyxh
+                dx = gamma * rvar * (dyr - m_dy - xhat * m_dyxh)
+            else:
+                dx = dy.reshape(x_in.shape)
+            dx = dx.reshape(x_in.shape)
+            dxs[j] = dx
+            dy = dx
+        return dout, tuple(dxs), tuple(ndws), tuple(ndbs)
+
+    return jax.jit(bwd)
+
+
+# ===========================================================================
+# optimizers (reference k_sgd / k_adam / k_adamw semantics)
+# ===========================================================================
+@lru_cache(maxsize=64)
+def get_sgd(ndivs: tuple, momentum: bool):
+    def step(ws, dws, ms, lr, b):
+        nws, nms, ndws = [], [], []
+        for w, dw, m, nd in zip(ws, dws, ms, ndivs):
+            dg = dw / nd
+            if momentum:
+                m = b * m + (1.0 - b) * dg
+                w = w - lr * m
+            else:
+                w = w - lr * dg
+            nws.append(w)
+            nms.append(m)
+            ndws.append(jnp.zeros_like(dw))
+        return nws, ndws, nms
+
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=64)
+def get_adam(adamw: bool):
+    def step(ws, dws, ms, vs, lr, b1, b2, wd):
+        nws, nms, nvs, ndws = [], [], [], []
+        for w, dg, m, v in zip(ws, dws, ms, vs):
+            m = b1 * m + (1.0 - b1) * dg
+            v = b2 * v + (1.0 - b2) * dg * dg
+            upd = m / (jnp.sqrt(v) + 1.0e-6)
+            if adamw:
+                upd = upd + wd * w
+            w = w - lr * upd
+            nws.append(w)
+            nms.append(m)
+            nvs.append(v)
+            ndws.append(jnp.zeros_like(dg))
+        return nws, ndws, nms, nvs
+
+    return jax.jit(step)
+
+
+# ===========================================================================
+# loss / metrics (reference Tensor::loss, Model::hit)
+# ===========================================================================
+@partial(jax.jit, static_argnames=("op",))
+def loss_fn(op: str, out, tgt):
+    n = out.shape[0] if out.ndim > 1 else 1
+    o = out.reshape(-1)
+    t = tgt.reshape(-1)
+    if op == "mse":
+        z = jnp.sum((o - t) ** 2)
+    elif op == "bce":
+        z = -jnp.sum(t * jnp.log(o + 1.0e-6)
+                     + (1.0 - t) * jnp.log(1.0 - o + 1.0e-6))
+    elif op == "ce":
+        z = -jnp.sum(t * jnp.log(jnp.maximum(o, LN_CLAMP)))
+    elif op == "nll":
+        z = -jnp.sum(o * t)
+    else:
+        raise ValueError(op)
+    return z / n
+
+
+@jax.jit
+def hit_fn(out, hot):
+    n = out.shape[0]
+    o = out.reshape(n, -1)
+    h = hot.reshape(n, -1)
+    idx = jnp.argmax(o, axis=-1)
+    return jnp.sum(jnp.take_along_axis(h, idx[:, None], axis=-1))
+
+
+@partial(jax.jit, static_argnames=("classes",))
+def onehot_fn(labels, classes: int):
+    return jax.nn.one_hot(labels, classes, dtype=jnp.float32)

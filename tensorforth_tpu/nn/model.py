@@ -1,0 +1,511 @@
+"""Model — sequential NN container (tier-3 object).
+
+Reference behavior: src/nn/model.{h,cpp} (layer factory, output-dim
+arithmetic, Kaiming-uniform init, MM_DEBUG deterministic fill),
+forward.cu / backprop.cu / gradient.cu / loss.cpp entry points.
+
+The container holds per-layer activation Tensors exactly like the
+reference (``n@`` fetches them; backprop overwrites them with gradients)
+but the compute runs as whole-network jitted XLA executables built in
+funcs.py — one device dispatch per forward/backprop/optimizer word.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import jax
+
+from ..config import Config
+from ..mu.tensor import Tensor, T4Type
+from .ntypes import Layer, Loss, Optimizer
+from . import funcs
+
+
+class Model:
+    def __init__(self, mmu, trace: int = 0):
+        self.oid = 0
+        self.ttype = T4Type.MODEL
+        self.rank = 0
+        self.data: list[Tensor] = []          # layer tensors (activations)
+        self.train = 1
+        self.err = 0
+        self.max_norm = 0.0
+        self.epoch = 0
+        self._mmu = mmu
+        self._trace = trace
+        self._hot: Tensor | None = None       # cached onehot vector
+        self._loss: Tensor | None = None
+        self._hit = 0
+        self._iter = 0
+        self._opt_inited = False
+
+    # --- T4Base duck-type ---------------------------------------------------
+    @property
+    def numel(self) -> int:
+        return len(self.data)
+
+    @property
+    def grad(self):
+        return [None] * 5
+
+    def is_model(self) -> bool:
+        return True
+
+    def is_tensor(self) -> bool:
+        return False
+
+    def is_dataset(self) -> bool:
+        return False
+
+    @staticmethod
+    def nname(i) -> str:
+        """padded 7-char layer name (reference LAYER_OP strings)"""
+        return Layer.NAMES[i if i is not None else 0]
+
+    # --- layer stack access ----------------------------------------------------
+    def __getitem__(self, i: int) -> Tensor:
+        return self.data[i if i >= 0 else self.numel + i]
+
+    def npush(self, t: Tensor) -> "Model":
+        self.data.append(t)
+        if self.numel >= Config.NET_SZ:
+            from ..system import System
+            System.get_sys().perr("", "Model layer storage maxed out ")
+        return self
+
+    def npop(self) -> Tensor:
+        return self.data.pop() if self.data else None
+
+    def batch_size(self) -> int:
+        return self.data[0].N() if self.data else 1
+
+    def tick(self):
+        self.epoch += 1
+
+    # --- tensor helpers -------------------------------------------------------
+    def _T4(self, *dims) -> Tensor:
+        return self._mmu.tensor(*dims)
+
+    def _rand(self, t: Tensor, scale: float):
+        """uniform init in [-scale, scale) (reference Model::RAND)"""
+        from ..system import System
+        System.get_sys().rand_fill(t, "uniform", bias=-0.5, scale=scale * 2.0)
+
+    # =========================================================================
+    # layer factory (reference Model::add, model.cpp:83-310)
+    # =========================================================================
+    def add(self, fn: int, n: int = 0, bias: float = 0.0, opt=None) -> "Model":
+        t_in = self[-1]
+        if t_in.grad_fn is not None:
+            return self
+        t_in.grad = [None] * 5
+        t_in.mtum = [None] * 5
+        if fn in (Layer.CONV, Layer.DCONV):
+            self._iconv(t_in, n, bias, opt or [3, 1, 0, 1], fn == Layer.DCONV)
+        elif fn == Layer.LINEAR:
+            self._ilinear(t_in, n, bias)
+        elif fn == Layer.FLATTEN:
+            self._iflatten(t_in)
+        elif fn in (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
+                    Layer.LEAKYRL, Layer.ELU, Layer.DROPOUT):
+            self._iactivate(t_in, bias)
+        elif fn in (Layer.SOFTMAX, Layer.LOGSMAX):
+            self._isoftmax(t_in)
+        elif fn in (Layer.AVGPOOL, Layer.MAXPOOL, Layer.MINPOOL):
+            self._ipool(t_in, int(n))
+        elif fn == Layer.BATCHNM:
+            self._ibatchnorm(t_in, bias)
+        elif fn == Layer.USAMPLE:
+            self._iup(t_in, int(n), bias)
+        else:
+            self._err(f"Model#add layer {fn} not supported")
+            return self
+        t_in.grad_fn = fn
+        return self
+
+    def _err(self, msg: str):
+        from ..system import System
+        System.get_sys().perr("", msg + " ")
+
+    def _iconv(self, t_in: Tensor, C0: int, bias: float, opt, txn: bool):
+        N1, H1, W1, C1 = t_in.N(), t_in.H(), t_in.W(), t_in.C()
+        K, S, D = int(opt[0]), int(opt[1]), int(opt[3])
+        P = int(opt[2]) if (K > 1 and opt[2]) else (K - 1) // 2
+        if txn:
+            P0 = (H1 + P * 2 - K) % S
+            H0 = (H1 - 1) * S - P * 2 + K + P0
+            W0 = (W1 - 1) * S - P * 2 + K + P0
+        else:
+            H0 = (H1 - K + P * 2) // S + 1
+            W0 = (W1 - K + P * 2) // S + 1
+        if (not txn and K not in (1, 3, 5)) or (txn and K != 4):
+            self._err(f"conv kernel {K}x{K}? 1/3/5 (4 for dconv2d) only")
+            return
+        t_in.stride = [S, S, P, P]
+        t_in.xparm = bias
+        f = self._T4(C1, K, K, C0)
+        b = self._T4(C0)
+        t_in.grad[0], t_in.grad[1] = f, b
+        t_in.grad[2] = self._T4(C1, K, K, C0)
+        t_in.grad[3] = self._T4(C0)
+        t_in.grad[4] = self._T4(N1, H1, W1, C1)
+        k = math.sqrt(6.0 / (K * K * C1))
+        if Config.MM_DEBUG:
+            f.set_numpy(np.full(f.numel, 0.5, np.float32))
+            b.set_numpy(np.full(b.numel, -0.5, np.float32))
+        else:
+            self._rand(f, k)
+            self._rand(b, bias)
+        self.npush(self._T4(N1, H0, W0, C0))
+
+    def _ilinear(self, t_in: Tensor, E0: int, bias: float):
+        N1 = t_in.N()
+        E1 = t_in.HWC()
+        w = self._T4(1, E0, E1, 1)
+        b = self._T4(E0)
+        t_in.grad[0], t_in.grad[1] = w, b
+        t_in.grad[2] = self._T4(1, E0, E1, 1)
+        t_in.grad[3] = self._T4(E0)
+        t_in.xparm = bias
+        k = math.sqrt(1.0 / (E0 + E1))
+        if Config.MM_DEBUG:
+            a = np.full(w.numel, 0.5, np.float32)
+            a[(w.numel >> 1) - 1] = 1.0
+            w.set_numpy(a)
+            b.set_numpy(np.zeros(E0, np.float32))
+        else:
+            self._rand(w, k)
+            self._rand(b, bias)
+        self.npush(self._T4(N1, 1, E0, 1))
+
+    def _iflatten(self, t_in: Tensor):
+        self.npush(self._T4(t_in.N(), 1, t_in.HWC(), 1))
+
+    def _isoftmax(self, t_in: Tensor):
+        t_in.grad[4] = self._T4(1, t_in.H(), t_in.W(), t_in.C())
+        self.npush(self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C()))
+
+    def _iactivate(self, t_in: Tensor, alpha: float):
+        t_in.grad[4] = self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C())
+        t_in.xparm = alpha
+        self.npush(self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C()))
+
+    def _ipool(self, t_in: Tensor, k: int):
+        if k not in (2, 3):
+            self._err(f"pool k={k}? 2x2 and 3x3 only")
+            return
+        H0 = (t_in.H() + k - 1) // k
+        W0 = (t_in.W() + k - 1) // k
+        t_in.stride = [k, 1, 1, 0]
+        self.npush(self._T4(t_in.N(), H0, W0, t_in.C()))
+
+    def _ibatchnorm(self, t_in: Tensor, m: float):
+        C = t_in.C()
+        g = self._T4(C)
+        g.set_numpy(np.ones(C, np.float32))
+        t_in.grad[0] = g
+        t_in.grad[1] = self._T4(C)
+        t_in.grad[2] = self._T4(C)
+        t_in.grad[3] = self._T4(C)
+        t_in.grad[4] = self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C())
+        t_in.mtum[4] = self._T4(C * 3)
+        t_in.xparm = m
+        self.npush(self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C()))
+
+    def _iup(self, t_in: Tensor, k: int, method: float):
+        if k not in (2, 3):
+            self._err(f"upsample k={k}? 2x2 and 3x3 only")
+            return
+        t_in.iparm = int(method)
+        t_in.stride = [k, 1, 1, 1]
+        self.npush(self._T4(t_in.N(), t_in.H() * k, t_in.W() * k, t_in.C()))
+
+    # =========================================================================
+    # jit program assembly
+    # =========================================================================
+    def _program(self):
+        prog = []
+        for i in range(self.numel - 1):
+            t_in, t_out = self[i], self[i + 1]
+            kind = t_in.grad_fn
+            if kind in (Layer.CONV, Layer.DCONV):
+                opts = (t_in.stride[0], t_in.stride[2])
+            elif kind in (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
+                          Layer.LEAKYRL, Layer.ELU, Layer.DROPOUT):
+                opts = (float(t_in.xparm),)
+            elif kind in (Layer.MAXPOOL, Layer.AVGPOOL, Layer.MINPOOL,
+                          Layer.USAMPLE):
+                opts = (t_in.stride[0],)
+            else:
+                opts = ()
+            prog.append((kind, opts, t_out.shape))
+        return tuple(prog)
+
+    def _params(self):
+        out = []
+        for i in range(self.numel - 1):
+            t_in = self[i]
+            kind = t_in.grad_fn
+            if kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM):
+                out.append((t_in.grad[0].ensure_data(),
+                            t_in.grad[1].ensure_data()))
+            elif kind == Layer.LINEAR:
+                w = t_in.grad[0]
+                out.append((w.ensure_data().reshape(w.H(), w.W()),
+                            t_in.grad[1].ensure_data()))
+            else:
+                out.append(())
+        return tuple(out)
+
+    # =========================================================================
+    # forward (reference forward.cu)
+    # =========================================================================
+    def forward(self, inp: Tensor) -> "Model":
+        from ..system import System
+        sys = System.get_sys()
+        n0 = self[0]
+        if inp.numel != n0.numel:
+            self._err(f"nn#forward dataset wrong shape {inp.shape} != "
+                      f"model input {n0.shape}")
+            self.err = 1
+            return self
+        n0.replace_data(inp.ensure_data().reshape(n0.shape))
+        prog = self._program()
+        fwd = funcs.get_forward(prog)
+        key = jax.random.PRNGKey(sys.next_key())
+        outs, masks = fwd(n0.ensure_data(), self._params(), key)
+        for i, (o, m) in enumerate(zip(outs, masks)):
+            self[i + 1].replace_data(o)
+            t_in = self[i]
+            if m is None:
+                continue
+            if t_in.grad_fn == Layer.BATCHNM:
+                xhat, rvar = m
+                t_in.grad[4].replace_data(xhat)
+                C = t_in.C()
+                mt = np.zeros(3 * C, np.float32)
+                mt[:C] = np.asarray(rvar).reshape(-1)
+                t_in.mtum[4].set_numpy(mt)
+            elif t_in.grad[4] is not None:
+                t_in.grad[4].replace_data(m.reshape(t_in.grad[4].shape)
+                                          if m.size == t_in.grad[4].numel
+                                          else m)
+        if inp.is_dataset():
+            self.onehot_from_dataset(inp)
+            self._hit = self.hit(True)
+        if sys.trace:
+            sys.pstr(f"\\ Model::forward[{self.numel - 1}] "
+                     f"batch={n0.N()} done\n")
+        return self
+
+    # =========================================================================
+    # backprop (reference backprop.cu)
+    # =========================================================================
+    def broadcast(self, tgt: Tensor) -> "Model":
+        out = self[-1]
+        N, HWC = out.N(), out.HWC()
+        if self._hot is None:
+            self._hot = self._T4(N, 1, HWC, 1)
+        v = tgt.numpy().reshape(N, -1)[:, :1]
+        self._hot.set_numpy(np.repeat(v, HWC, axis=1))
+        return self
+
+    def backprop(self, tgt: Tensor | None = None) -> "Model":
+        if tgt is None:
+            if self._hot is None:
+                self._err("nn#backprop missing onehot vector?")
+                return self
+            tgt = self._hot
+        out = self[-1]
+        if out.numel != tgt.numel:
+            self._err(f"Model#bprep: onehot wrong shape {tgt.shape} "
+                      f"!= {out.shape}")
+            self.err = 1
+            return self
+        prog = self._program()
+        bwd = funcs.get_backward(prog, self[0].shape, bool(self.train))
+        outs = tuple(self[i + 1].ensure_data() for i in range(self.numel - 1))
+        masks = self._gather_masks()
+        dws, dbs = self._gather_grads()
+        dout, dxs, ndws, ndbs = bwd(
+            tgt.ensure_data(), self[0].ensure_data(), outs,
+            self._params(), masks, dws, dbs)
+        self[-1].replace_data(dout)
+        for j in range(self.numel - 1):
+            self[j].replace_data(dxs[j])
+            t_in = self[j]
+            if t_in.grad[2] is not None:
+                w = t_in.grad[2]
+                t_in.grad[2].replace_data(ndws[j].reshape(w.shape))
+            if t_in.grad[3] is not None:
+                t_in.grad[3].replace_data(ndbs[j])
+        return self
+
+    def _gather_masks(self):
+        masks = []
+        for i in range(self.numel - 1):
+            t_in = self[i]
+            kind = t_in.grad_fn
+            if kind == Layer.BATCHNM:
+                xhat = t_in.grad[4].ensure_data()
+                C = t_in.C()
+                rvar = t_in.mtum[4].ensure_data()[:C]
+                masks.append((xhat, rvar))
+            elif kind in funcs._MASKED:
+                masks.append(t_in.grad[4].ensure_data())
+            else:
+                masks.append(None)
+        return tuple(masks)
+
+    def _gather_grads(self):
+        dws, dbs = [], []
+        for i in range(self.numel - 1):
+            t_in = self[i]
+            kind = t_in.grad_fn
+            if kind == Layer.LINEAR:
+                w = t_in.grad[2]
+                dws.append(w.ensure_data().reshape(w.H(), w.W()))
+                dbs.append(t_in.grad[3].ensure_data())
+            elif kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM):
+                dws.append(t_in.grad[2].ensure_data())
+                dbs.append(t_in.grad[3].ensure_data())
+            else:
+                dws.append(jnp.zeros((1,), jnp.float32))
+                dbs.append(jnp.zeros((1,), jnp.float32))
+        return tuple(dws), tuple(dbs)
+
+    # =========================================================================
+    # gradient descent (reference gradient.cu)
+    # =========================================================================
+    def _trainables(self):
+        """[(w, dw, mslot_w, vslot_w, ndiv), (b, db, mslot_b, vslot_b, 1)]"""
+        out = []
+        for i in range(self.numel - 1):
+            t_in = self[i]
+            if t_in.grad_fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
+                                Layer.BATCHNM) and t_in.grad[0] is not None:
+                out.append((t_in, 0))        # weight slot
+                out.append((t_in, 1))        # bias slot
+        return out
+
+    def grad_alloc(self, op: int):
+        for t_in, slot in self._trainables():
+            g = t_in.grad[slot]
+            if op in (Optimizer.SGD,):
+                t_in.mtum[slot] = g
+            elif t_in.mtum[slot] is None or t_in.mtum[slot] is g:
+                t_in.mtum[slot] = self._T4(*g.shape)
+                if op in (Optimizer.ADAM, Optimizer.ADAMW):
+                    t_in.mtum[slot + 2] = self._T4(*g.shape)
+        self._opt_inited = True
+
+    def grad_zero(self):
+        for t_in, slot in self._trainables():
+            dg = t_in.grad[slot + 2]
+            if dg is not None:
+                dg.replace_data(jnp.zeros(dg.shape, jnp.float32))
+
+    def _opt_apply(self, op: int, step_fn, *hyper):
+        if not self._opt_inited:
+            self.grad_alloc(op)
+        self._iter += 1
+        if not self.train:
+            return self
+        tr = self._trainables()
+        ws = [t.grad[s].ensure_data() for t, s in tr]
+        dws = [t.grad[s + 2].ensure_data() for t, s in tr]
+        ms = [t.mtum[s].ensure_data() for t, s in tr]
+        if op in (Optimizer.ADAM, Optimizer.ADAMW):
+            vs = [t.mtum[s + 2].ensure_data() for t, s in tr]
+            nws, ndws, nms, nvs = step_fn(ws, dws, ms, vs, *hyper)
+            for (t, s), w, dw, m, v in zip(tr, nws, ndws, nms, nvs):
+                t.grad[s].replace_data(w)
+                t.grad[s + 2].replace_data(dw)
+                t.mtum[s].replace_data(m)
+                t.mtum[s + 2].replace_data(v)
+        else:
+            nws, ndws, nms = step_fn(ws, dws, ms, *hyper)
+            for (t, s), w, dw, m in zip(tr, nws, ndws, nms):
+                t.grad[s].replace_data(w)
+                t.grad[s + 2].replace_data(dw)
+                if t.mtum[s] is not t.grad[s]:
+                    t.mtum[s].replace_data(m)
+        return self
+
+    def _ndivs(self):
+        """SGD batch-divisor quirk: g.N() of each weight tensor"""
+        out = []
+        for t, s in self._trainables():
+            g = t.grad[s]
+            out.append(float(g.N() if g.rank == 4 else 1))
+        return tuple(out)
+
+    def sgd(self, lr: float, b: float = 0.0) -> "Model":
+        momentum = abs(b) > Config.DU_EPS
+        op = Optimizer.SGDM if momentum else Optimizer.SGD
+        fn = funcs.get_sgd(self._ndivs(), momentum)
+        return self._opt_apply(op, fn, jnp.float32(lr), jnp.float32(b))
+
+    def adam(self, lr: float, b1: float = 0.9, b2: float = 0.999) -> "Model":
+        fn = funcs.get_adam(False)
+        return self._opt_apply(Optimizer.ADAM, fn, jnp.float32(lr),
+                               jnp.float32(b1), jnp.float32(b2),
+                               jnp.float32(0.0))
+
+    def adamw(self, lr: float, wd: float = 0.01, b1: float = 0.9,
+              b2: float = 0.999) -> "Model":
+        fn = funcs.get_adam(True)
+        return self._opt_apply(Optimizer.ADAMW, fn, jnp.float32(lr),
+                               jnp.float32(b1), jnp.float32(b2),
+                               jnp.float32(wd))
+
+    # =========================================================================
+    # loss & metrics (reference loss.cpp)
+    # =========================================================================
+    def onehot(self, t: Tensor | None = None) -> Tensor:
+        if t is None:
+            if self._hot is None:
+                self._err("Model.onehot not provided by dataset, "
+                          "use nn.onehot= to setup!")
+                return self[-1]
+            return self._hot
+        out = self[-1]
+        if self._hot is not None:
+            self._mmu.free_obj(self._hot)
+        elif t.N() != out.N() or t.HWC() != out.HWC():
+            self._err(f"Model.onehot dimension is not "
+                      f"[{out.N()},1,{out.HWC()},1]")
+            return t
+        self._hot = t
+        self._hit = self.hit(True)
+        return self._hot
+
+    def onehot_from_dataset(self, dset) -> Tensor:
+        out = self[-1]
+        E = out.HWC()
+        if self._hot is None:
+            self._hot = self._T4(out.N(), 1, E, 1)
+        labels = jnp.asarray(dset.label[:out.N()], dtype=jnp.int32)
+        self._hot.replace_data(funcs.onehot_fn(labels, E))
+        return self._hot
+
+    def hit(self, recalc: bool = False) -> int:
+        if not recalc:
+            return self._hit
+        if self._hot is None:
+            return 0
+        return int(funcs.hit_fn(self[-1].ensure_data(),
+                                self._hot.ensure_data()))
+
+    def loss(self, op: int, tgt: Tensor | None = None) -> float:
+        if tgt is None:
+            tgt = self._hot
+        out = self[-1]
+        if tgt is None or out.numel != tgt.numel:
+            self._err("nn::loss shape mismatch")
+            return 0.0
+        name = Loss.NAMES[op].lower()
+        return float(funcs.loss_fn(name, out.ensure_data(),
+                                   tgt.ensure_data()))
