@@ -35,13 +35,17 @@ class Corpus:
 
     def fetch(self, batch_sz: int):
         """returns (data[n,H,W,C] u8-ish, labels[n]) or (None, None) at eof"""
-        if self._pos >= self.size:
+        size = self.size
+        max_b = int(os.environ.get("T4_MAX_BATCH", "0"))
+        if max_b:                           # truncated-epoch fault injection
+            size = min(size, max_b * batch_sz)
+        if self._pos >= size:
             self.eof = True
             return None, None
-        n = min(batch_sz, self.size - self._pos)
+        n = min(batch_sz, size - self._pos)
         d, l = self._read(self._pos, n)
         self._pos += n
-        self.eof = self._pos >= self.size
+        self.eof = self._pos >= size
         return d, l
 
     def _read(self, pos: int, n: int):

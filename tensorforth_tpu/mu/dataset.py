@@ -40,7 +40,9 @@ class Dataset(Tensor):
                 return self
             self._corpus = cp
             cp.init()
-            self.reshape(self.batch_sz, cp.H, cp.W, cp.C)
+            self.shape = (self.batch_sz, cp.H, cp.W, cp.C)   # re-dimension
+            self.rank = 4
+            self.data = None
             self.dataset_size = cp.size
             self.batch_id = -1
         cp = self._corpus
