@@ -219,7 +219,14 @@ def get_backward(program, in_shape, train: bool):
         L = len(program)
         dxs = [None] * L
         ndws, ndbs = list(dws), list(dbs)
-        dy = outs[-1] - tgt.reshape(outs[-1].shape)
+        # dLoss prep (reference _bprep, backprop.cu:75-109): the fused
+        # final-activation+loss pairs become out-tgt; any other final
+        # layer means tgt already IS dLoss (e.g. GAN G <- D input grad)
+        if program[-1][0] in (Layer.LINEAR, Layer.SIGMOID,
+                              Layer.SOFTMAX, Layer.LOGSMAX):
+            dy = outs[-1] - tgt.reshape(outs[-1].shape)
+        else:
+            dy = tgt.reshape(outs[-1].shape)
         dout = dy
         for j in range(L - 1, -1, -1):
             kind, opts, out_shape = program[j]
