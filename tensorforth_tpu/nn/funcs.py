@@ -237,7 +237,9 @@ def get_backward(program, in_shape, train: bool):
             elif kind == Layer.FLATTEN:
                 dx = dy.reshape(x_in.shape)
             elif kind in _MASKED:
-                dx = dy * masks[j]
+                # masks may carry a stale header shape if the user
+                # reshaped a layer view between forward and backprop
+                dx = dy * masks[j].reshape(dy.shape)
             elif kind == Layer.LINEAR:
                 n = x_in.shape[0]
                 xf = x_in.reshape(n, -1)
