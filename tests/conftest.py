@@ -10,19 +10,10 @@ TPU chip instead (slow: tunneled device).
 import os
 import sys
 
-if (os.environ.get("PALLAS_AXON_POOL_IPS")
-        and os.environ.get("T4_TEST_TPU", "0") != "1"
-        and not os.environ.get("_T4_REEXEC")):
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                        " --xla_force_host_platform_device_count=8").strip()
-    env["_T4_REEXEC"] = "1"
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tests.platform_fix  # noqa: F401,E402  (re-exec fallback; normally
+#                            triggered earlier via pytest.ini -p plugin)
 
 import pytest  # noqa: E402
 

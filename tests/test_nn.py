@@ -1,0 +1,167 @@
+"""NN-tier tests (tier 3) — numerics pinned to examples/t4_30a/b/c
+expected values (the reference's golden-script acceptance data).
+"""
+import numpy as np
+import pytest
+
+
+MAZUR = """3 1 2 1 nn.model
+2 linear sigmoid
+2 linear sigmoid
+constant nn
+nn
+4 vector{ 0.15 0.2 0.25 0.3 }
+0 nn.w=
+2 vector{ 0.35 0.35 }
+0 nn.b=
+4 vector{ 0.4 0.45 0.5 0.55 }
+2 nn.w=
+2 vector{ 0.6 0.6 }
+2 nn.b=
+6 vector{ 0.05 0.1 0.05 0.1 0.05 0.1 }
+forward"""
+
+
+def test_linear_forward_exact(t4):
+    out = t4.forth("""1 1 2 1 nn.model
+3 linear
+constant nn
+3 2 matrix{ 1 2 3 4 5 6 }
+0.1 *=
+nn swap 0 nn.w=
+3 vector{ 1 2 3 }
+0 nn.b=
+2 vector{ 10 20 }
+1 1 2 1 reshape4
+forward
+-1 n@ .""")
+    assert "+6.0000 +13.0000 +20.0000" in out
+
+
+def test_mazur_backprop_exact(t4):
+    out = t4.forth(MAZUR + "\n-1 n@ .")
+    assert "+0.7514 +0.7729" in out
+    out = t4.forth("6 vector{ 0.01 0.99 0.01 0.99 0.01 0.99 } "
+                   "3 1 2 1 reshape4 constant tgt\ntgt loss.mse .")
+    assert "0.596742" in out
+    out = t4.forth("tgt backprop\n0 nn.db .")
+    assert "+0.5640 +0.6427" in out
+    out = t4.forth("0 nn.dw .")
+    assert "+0.0282 +0.0564" in out and "+0.0321 +0.0643" in out
+    out = t4.forth("0.5 0.0 nn.sgd\n0 nn.w .")
+    assert "+0.1359 +0.1718" in out and "+0.2339 +0.2679" in out
+    out = t4.forth("0 nn.b .")
+    assert "+0.0680 +0.0287" in out
+    # gradients zeroed after the sgd step
+    out = t4.forth("0 nn.dw sum .")
+    assert "0 " in out
+
+
+def test_sigmoid_passthru_semantics(t4):
+    """mid-network sigmoid is pass-through in backprop (reference
+    backprop.cu:129-131, verified by t4_30c L1/L2 dX equality)"""
+    t4.forth(MAZUR)
+    t4.forth("6 vector{ 0.01 0.99 0.01 0.99 0.01 0.99 } "
+             "3 1 2 1 reshape4 constant tg2\ntg2 backprop")
+    out1 = t4.forth("2 n@ .")      # L2 linear dX
+    out2 = t4.forth("1 n@ .")      # L1 sigmoid dX (must equal)
+    assert "+0.1880 +0.2142" in out1
+    assert "+0.1880 +0.2142" in out2
+
+
+def test_conv_pool_shapes(t4):
+    out = t4.forth("""4 28 28 1 nn.model
+0.5 10 conv2d 2 maxpool relu
+flatten 100 linear relu 10 linear softmax
+network""")
+    assert "T4[4,28,28,10]" in out       # conv keeps 28x28 (K3 S1 P1)
+    assert "T4[4,14,14,10]" in out       # 2x2 pool halves
+    assert "H=100" in out and "H=10" in out
+
+
+def test_forward_backward_adam_cnn(t4):
+    t4.forth("""2 8 8 1 nn.model
+0.5 4 conv2d 2 maxpool relu
+flatten 10 linear softmax
+constant md""")
+    t4.forth("md 2 8 8 1 tensor randn forward")
+    out = t4.forth("-1 n@ sum .")
+    assert "2 " in out                    # softmax rows sum to 1 (x2)
+    t4.forth("20 vector{ 1 0 0 0 0 0 0 0 0 0 "
+             "0 1 0 0 0 0 0 0 0 0 } 2 1 10 1 reshape4 constant hot")
+    out = t4.forth("hot loss.ce .")
+    assert "-> ok" in out
+    t4.forth("hot backprop\n0.001 nn.adam")
+    out = t4.forth("0 nn.dw sum .")      # zeroed after adam
+    assert "0 " in out
+    t4.forth("0.001 nn.adam")            # second step with zero grads ok
+
+
+def test_trainable_gate(t4):
+    """train=0: backprop must not accumulate dW (reference _blinear)"""
+    t4.forth("""1 1 2 1 nn.model 3 linear sigmoid constant m0
+m0 0 trainable
+2 vector{ 1 2 } 1 1 2 1 reshape4 forward
+3 vector{ 1 0 0 } 1 1 3 1 reshape4 backprop""")
+    out = t4.forth("0 nn.dw sum .")
+    assert "0 " in out
+
+
+def test_batchnorm_forward(t4):
+    t4.forth("4 4 4 2 nn.model batchnorm constant bm")
+    t4.forth("bm 4 4 4 2 tensor randn forward")
+    # normalized output: per-channel mean ~0
+    out = t4.forth("-1 n@ sum .")
+    v = float(out.split()[0])
+    assert abs(v) < 1e-2
+
+
+def test_dconv_upsample_shapes(t4):
+    out = t4.forth("""2 8 8 3 nn.model
+0.0 6 dconv2d
+network""")
+    assert "T4[2,16,16,6]" in out        # 4x4 s2 p1 doubles spatial
+    out = t4.forth("""2 4 4 2 nn.model
+2 upsample
+network""")
+    assert "T4[2,8,8,2]" in out
+
+
+def test_loss_functions(t4):
+    t4.forth("abort 2 vector{ 0.8 0.2 } 2 vector{ 1 0 }")
+    out = t4.forth("loss.mse .")
+    assert "0.08 " in out                # (0.04+0.04)/1
+    t4.forth("abort 2 vector{ 0.5 0.5 } 2 vector{ 1 0 }")
+    out = t4.forth("loss.ce .")
+    assert "0.693" in out
+
+
+def test_nn_len_and_batchsize(t4):
+    t4.forth("8 4 4 1 nn.model 2 linear constant mm")
+    assert "8 " in t4.forth("mm batchsize . drop")
+    assert "2 " in t4.forth("mm nn.len . drop")
+
+
+def test_model_save_load_roundtrip(t4, tmp_path):
+    p = str(tmp_path / "model.t4")
+    t4.forth("""1 1 2 1 nn.model
+3 linear sigmoid
+constant msave
+msave
+6 vector{ 0.15 0.2 0.25 0.3 0.2 0.15 } 0 nn.w=
+3 vector{ 1 2 3 } 0 nn.b=""")
+    t4.forth(f's" {p}" save drop')
+    out = t4.forth(f'1 1 2 1 nn.model\ns" {p}" load\nnetwork')
+    assert "linear" in out and "sigmoid" in out
+    out = t4.forth("0 nn.b .")
+    assert "+1.0000 +2.0000 +3.0000" in out
+    out = t4.forth("0 nn.w .")
+    assert "+0.1500 +0.2000" in out
+
+
+def test_onehot_and_hit(t4):
+    t4.forth("""2 1 2 1 nn.model 2 linear softmax constant hm""")
+    t4.forth("hm 4 vector{ 10 1 1 10 } 2 1 2 1 reshape4 forward")
+    t4.forth("4 vector{ 1 0 0 1 } 2 1 2 1 reshape4 nn.onehot=")
+    out = t4.forth("nn.hit .")
+    assert out.split()[0] in ("0", "1", "2")
