@@ -1,0 +1,127 @@
+"""Headline benchmark — run on one real TPU chip.
+
+Primary metric (BASELINE.json): 1024^3 GEMM GFLOP/s through the
+framework's matmul path, vs the reference's best CUDA kernel
+(k_gemm_tile_claude_x2: 3.2 ms on GTX 1660 = 671 GFLOP/s,
+src/mu/tensor.cu:95).  Also measures the t4_30e MNIST CNN train step in
+samples/sec (reported in `details`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Methodology notes: iterations are chained (X = A @ X * s) so no
+caching/deduplication layer can elide work, and timing brackets a
+device sync via a final readback.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_GEMM_GFLOPS = 2.0 * 1024 ** 3 / 3.2e-3 / 1e9        # 671.1
+
+
+def bench_gemm(n_iter: int = 64, size: int = 1024) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tensorforth_tpu.ops.gemm_pallas import mm_pallas
+
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    a = jax.random.uniform(k1, (size, size), jnp.float32)
+    x0 = jax.random.uniform(k2, (size, size), jnp.float32)
+    s = jnp.float32(1.0 / size)
+
+    @jax.jit
+    def chain_xla(a, x):
+        def body(x, _):
+            return jnp.dot(a, x, preferred_element_type=jnp.float32) * s, None
+        x, _ = jax.lax.scan(body, x, None, length=n_iter)
+        return x
+
+    def timed(fn, reps=3):
+        fn(a, x0).block_until_ready()          # warm & compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn(a, x0)
+            r.block_until_ready()
+            float(r[0, 0])                     # force real readback
+            best = min(best, time.perf_counter() - t0)
+        return n_iter * 2.0 * size ** 3 / best / 1e9
+
+    gf_xla = timed(chain_xla)
+
+    @jax.jit
+    def chain_pallas(a, x):
+        def body(x, _):
+            return mm_pallas(a, x, 3) * s, None
+        x, _ = jax.lax.scan(body, x, None, length=n_iter)
+        return x
+
+    try:
+        gf_pal = timed(chain_pallas)
+    except Exception:
+        gf_pal = 0.0
+    return gf_xla, gf_pal
+
+
+def bench_mnist(n_steps: int = 30, batch: int = 100):
+    """t4_30e CNN train step samples/sec (fwd+loss+grads+Adam, one jit)"""
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.models import mnist_cnn
+    from tensorforth_tpu.parallel.trainer import (make_train_step,
+                                                  init_opt_state)
+
+    model = mnist_cnn(batch=batch)
+    program = model._program()
+    params = model._params()
+    opt = init_opt_state(params)
+    step = make_train_step(program, loss="ce", lr=1e-3)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, 28, 28, 1))
+    y = jnp.tile(jnp.eye(10, dtype=jnp.float32),
+                 (batch // 10, 1)).reshape(batch, 1, 10, 1)
+    key = jax.random.PRNGKey(7)
+    params, opt, loss = step(params, opt, x, y, key)     # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt, loss = step(params, opt, x, y,
+                                 jax.random.fold_in(key, i))
+    lv = float(loss)                                     # sync
+    dt = time.perf_counter() - t0
+    return n_steps * batch / dt, dt / n_steps * 1000.0
+
+
+def main():
+    import jax
+    os.makedirs(".jax_cache", exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(".jax_cache"))
+    except Exception:
+        pass
+    dev = jax.devices()[0]
+    gf_xla, gf_pal = bench_gemm()
+    sps, ms_step = bench_mnist()
+    best = max(gf_xla, gf_pal)
+    print(json.dumps({
+        "metric": "GEMM 1024^3 f32 GFLOP/s (chained, synced)",
+        "value": round(best, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(best / REF_GEMM_GFLOPS, 2),
+        "details": {
+            "device": str(dev),
+            "gemm_xla_gflops": round(gf_xla, 1),
+            "gemm_pallas_gflops": round(gf_pal, 1),
+            "mnist_cnn_samples_per_sec": round(sps, 0),
+            "mnist_cnn_ms_per_batch100": round(ms_step, 3),
+            "reference_gemm_gflops": round(REF_GEMM_GFLOPS, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""SPMD sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+@needs_mesh
+def test_mesh_shapes():
+    from tensorforth_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("dp", "tp")
+
+
+@needs_mesh
+def test_sharded_train_step_runs_and_learns(t4):
+    from tensorforth_tpu.models import mnist_cnn
+    from tensorforth_tpu.parallel.trainer import ShardedTrainer
+    model = mnist_cnn(batch=16)
+    tr = ShardedTrainer(model, loss="ce", lr=1e-2)
+    x = np.random.RandomState(0).rand(16, 28, 28, 1).astype(np.float32)
+    y = np.zeros((16, 1, 10, 1), np.float32)
+    y[np.arange(16), 0, np.arange(16) % 10, 0] = 1.0
+    losses = [tr.step(x, y, seed=i) for i in range(8)]
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+
+
+@needs_mesh
+def test_sharded_matches_single_device(t4):
+    """dp/tp-sharded forward must equal replicated forward"""
+    from tensorforth_tpu.models import mnist_cnn
+    from tensorforth_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                               shard_params)
+    from tensorforth_tpu.parallel.trainer import _forward_pure
+    model = mnist_cnn(batch=8)
+    program = model._program()
+    params = model._params()
+    x = jnp.asarray(np.random.RandomState(1).rand(8, 28, 28, 1),
+                    jnp.float32)
+    key = jax.random.PRNGKey(0)
+    ref = _forward_pure(program, x, params, key)
+
+    mesh = make_mesh(8)
+    psh = shard_params(mesh, program)
+    sp = tuple(tuple(jax.device_put(w, s) for w, s in zip(pl, sl))
+               for pl, sl in zip(params, psh))
+    xs = jax.device_put(x, shard_batch(mesh))
+    out = jax.jit(lambda x_, p_: _forward_pure(program, x_, p_, key))(xs, sp)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_graft_entry_single():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(os.path.dirname(__file__), "..",
+                              "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (100, 1, 10, 1)
