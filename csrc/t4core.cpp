@@ -1,0 +1,308 @@
+// t4core — native inner interpreter for tensorforth_tpu.
+//
+// Executes the token-threaded parameter memory (see vm/pmem.py for the
+// cell layout) over the shared float32 data/return stacks at native
+// speed.  Primitive opcodes and the scalar built-in word set run fully
+// in C++; object/tensor/IO words call back into Python through a ctypes
+// trampoline.  Tagged-DU semantics (low 2 mantissa bits = object/view
+// flags) are preserved bit-exactly; dropped object handles are queued
+// for the Python MMU to sweep.
+//
+// Reference behavior: src/vm/eforth.cpp nest() + vm.cpp xop1/xop2
+// (epsilon compares DU_EPS=1e-6, BOOL=-1, C-truncation D2I).
+//
+// Build: g++ -O2 -shared -fPIC -o libt4core.so t4core.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+extern "C" {
+
+struct T4VM {
+    uint8_t *pmem;
+    float   *ss;
+    float   *rs;
+    int32_t  ss_idx;
+    int32_t  rs_idx;
+    int32_t  ip;
+    float    tos;
+    int32_t  state;          // 0 STOP, 1 HOLD, 2 QUERY, 3 NEST
+    int32_t  ss_sz;
+    int32_t  rs_sz;
+    uint32_t dropped[256];
+    int32_t  n_dropped;
+};
+
+typedef void (*t4_cb)(int32_t widx);
+
+enum { P_EXIT=0, P_NEXT, P_LOOP, P_LIT, P_VAR, P_STR, P_DOTQ,
+       P_BRAN, P_ZBRAN, P_FOR, P_DO, P_KEY, P_MAXOP };
+
+enum { ST_STOP=0, ST_HOLD, ST_QUERY, ST_NEST };
+
+static const double DU_EPS = 1.0e-6;
+
+// ---- tagged-DU helpers ----------------------------------------------------
+static inline uint32_t f2u(float f) { uint32_t u; memcpy(&u, &f, 4); return u; }
+static inline float    u2f(uint32_t u) { float f; memcpy(&f, &u, 4); return f; }
+static inline bool     is_obj(float f)  { return (f2u(f) & 1u) != 0; }
+static inline bool     is_view(float f) { return (f2u(f) & 3u) == 3u; }
+static inline float    as_view(float f) { return u2f(f2u(f) | 3u); }
+static inline float    scal(double d) {
+    float f = (float)d;
+    if (!std::isfinite(f)) return f;
+    return u2f(f2u(f) & ~1u);
+}
+static inline float dup_du(float v) { return is_obj(v) ? as_view(v) : v; }
+
+static inline void drop_du(T4VM *vm, float v) {
+    if (is_obj(v) && !is_view(v) && vm->n_dropped < 256)
+        vm->dropped[vm->n_dropped++] = f2u(v);
+}
+
+// ---- stack ops ---------------------------------------------------------------
+static inline void push(T4VM *vm, float v) {
+    vm->ss[vm->ss_idx++] = vm->tos;
+    vm->tos = v;
+}
+static inline float pop(T4VM *vm) {
+    float t = vm->tos;
+    vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f;
+    return t;
+}
+static inline void rpush(T4VM *vm, float v) { vm->rs[vm->rs_idx++] = v; }
+static inline float rpop(T4VM *vm) {
+    return vm->rs_idx > 0 ? vm->rs[--vm->rs_idx] : 0.0f;
+}
+static inline int32_t d2i(float f) { return (int32_t)f; }
+static inline float fbool(bool b) { return b ? -1.0f : 0.0f; }
+static inline int32_t wrap32(int64_t r) { return (int32_t)(uint32_t)r; }
+
+// ---- native scalar word set ----------------------------------------------------
+// ids must match NATIVE_WORDS in runtime/native.py
+enum {
+    W_NOP=0, W_DUP, W_DROP, W_OVER, W_SWAP, W_ROT, W_RROT, W_PICK, W_NIP,
+    W_QDUP, W_2DUP, W_2DROP, W_2OVER, W_2SWAP,
+    W_ADD, W_SUB, W_MUL, W_DIV, W_MOD, W_FMOD, W_DIVMOD, W_MULDIV,
+    W_MULDIVMOD, W_AND, W_OR, W_XOR, W_ABS, W_NEG, W_INVERT, W_RSHIFT,
+    W_LSHIFT, W_MAX, W_MIN, W_2STAR, W_2SLASH, W_1ADD, W_1SUB,
+    W_F2S, W_ROUND, W_CEIL, W_FLOOR,
+    W_ZEQ, W_ZLT, W_ZGT, W_EQ, W_GT, W_LT, W_NE, W_GE, W_LE, W_ULT, W_UGT,
+    W_TOR, W_RFROM, W_RAT, W_I, W_EXIT, W_BL, W_DEPTH, W_NWORDS
+};
+
+static void native_word(T4VM *vm, int id) {
+    switch (id) {
+    case W_NOP: break;
+    case W_DUP:  push(vm, dup_du(vm->tos)); break;
+    case W_DROP: { drop_du(vm, vm->tos);
+                   vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f; } break;
+    case W_OVER: push(vm, dup_du(vm->ss[vm->ss_idx - 1])); break;
+    case W_SWAP: { float n = vm->ss[--vm->ss_idx]; push(vm, n); } break;
+    case W_ROT:  { float n = vm->ss[--vm->ss_idx];
+                   float m = vm->ss[--vm->ss_idx];
+                   vm->ss[vm->ss_idx++] = n; push(vm, m); } break;
+    case W_RROT: { float n = vm->ss[--vm->ss_idx];
+                   float m = vm->ss[--vm->ss_idx];
+                   push(vm, m); push(vm, n); } break;
+    case W_PICK: { int i = d2i(vm->tos);
+                   vm->tos = i > 0 ? dup_du(vm->ss[vm->ss_idx - i])
+                                   : dup_du(vm->tos); } break;
+    case W_NIP:  --vm->ss_idx; break;
+    case W_QDUP: if (vm->tos != 0.0f) push(vm, vm->tos); break;
+    case W_2DUP: { float v = dup_du(vm->ss[vm->ss_idx - 1]); push(vm, v);
+                   v = dup_du(vm->ss[vm->ss_idx - 1]); push(vm, v); } break;
+    case W_2DROP:{ float s = vm->ss[--vm->ss_idx]; drop_du(vm, s);
+                   drop_du(vm, vm->tos);
+                   vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f; } break;
+    case W_2OVER:{ float v = dup_du(vm->ss[vm->ss_idx - 3]); push(vm, v);
+                   v = dup_du(vm->ss[vm->ss_idx - 3]); push(vm, v); } break;
+    case W_2SWAP:{ float n = vm->ss[--vm->ss_idx];
+                   float m = vm->ss[--vm->ss_idx];
+                   float l = vm->ss[--vm->ss_idx];
+                   vm->ss[vm->ss_idx++] = n; push(vm, l); push(vm, m); } break;
+    // --- FPU (double intermediate to match numpy float64 math) ---
+    case W_ADD: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+                  vm->tos = scal(n + t); } break;
+    case W_SUB: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+                  vm->tos = scal(n - t); } break;
+    case W_MUL: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+                  vm->tos = scal(n * t); } break;
+    case W_DIV: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+                  vm->tos = scal(t != 0.0 ? n / t
+                                 : std::copysign(INFINITY, n)); } break;
+    case W_MOD: { int32_t t = d2i(vm->tos);
+                  int32_t n = d2i(vm->ss[--vm->ss_idx]);
+                  vm->tos = scal(t ? (double)std::fmod((double)n, (double)t)
+                                   : 0.0); } break;
+    case W_FMOD:{ double t = vm->tos, n = vm->ss[--vm->ss_idx];
+                  vm->tos = scal(t != 0.0 ? std::fmod(n, t) : 0.0); } break;
+    case W_DIVMOD: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+                  vm->ss[vm->ss_idx++] = scal(t != 0.0 ? std::fmod(n, t) : 0.0);
+                  vm->tos = scal(t != 0.0 ? n / t : 0.0); } break;
+    case W_MULDIV: { double n2 = (double)vm->ss[vm->ss_idx - 1]
+                               * (double)vm->ss[vm->ss_idx - 2];
+                  vm->ss_idx -= 2;
+                  double t = vm->tos;
+                  vm->tos = scal(t != 0.0 ? n2 / t : 0.0); } break;
+    case W_MULDIVMOD: { double n2 = (double)vm->ss[vm->ss_idx - 1]
+                                  * (double)vm->ss[vm->ss_idx - 2];
+                  vm->ss_idx -= 2;
+                  double t = vm->tos;
+                  vm->ss[vm->ss_idx++] = scal(t != 0.0 ? std::fmod(n2, t) : 0.0);
+                  vm->tos = scal(t != 0.0 ? std::floor(n2 / t) : 0.0); } break;
+    case W_AND: { int32_t t = d2i(vm->tos), n = d2i(vm->ss[--vm->ss_idx]);
+                  vm->tos = scal(wrap32((int64_t)n & t)); } break;
+    case W_OR:  { int32_t t = d2i(vm->tos), n = d2i(vm->ss[--vm->ss_idx]);
+                  vm->tos = scal(wrap32((int64_t)n | t)); } break;
+    case W_XOR: { int32_t t = d2i(vm->tos), n = d2i(vm->ss[--vm->ss_idx]);
+                  vm->tos = scal(wrap32((int64_t)n ^ t)); } break;
+    case W_ABS: vm->tos = scal(std::fabs((double)vm->tos)); break;
+    case W_NEG: vm->tos = scal(-(double)vm->tos); break;
+    case W_INVERT: vm->tos = scal(wrap32(~(int64_t)d2i(vm->tos))); break;
+    case W_RSHIFT: { int32_t t = d2i(vm->tos);
+                  uint32_t n = (uint32_t)d2i(vm->ss[--vm->ss_idx]);
+                  vm->tos = scal(wrap32(n >> t)); } break;
+    case W_LSHIFT: { int32_t t = d2i(vm->tos);
+                  int64_t n = d2i(vm->ss[--vm->ss_idx]);
+                  vm->tos = scal(wrap32(n << t)); } break;
+    case W_MAX: { float n = vm->ss[--vm->ss_idx];
+                  if (n > vm->tos) vm->tos = n; } break;
+    case W_MIN: { float n = vm->ss[--vm->ss_idx];
+                  if (n < vm->tos) vm->tos = n; } break;
+    case W_2STAR:  vm->tos = scal((double)vm->tos * 2.0); break;
+    case W_2SLASH: vm->tos = scal((double)vm->tos / 2.0); break;
+    case W_1ADD:   vm->tos = scal((double)vm->tos + 1.0); break;
+    case W_1SUB:   vm->tos = scal((double)vm->tos - 1.0); break;
+    case W_F2S:    vm->tos = scal((double)d2i(vm->tos)); break;
+    case W_ROUND:  vm->tos = scal(std::copysign(
+                        std::floor(std::fabs((double)vm->tos) + 0.5),
+                        (double)vm->tos)); break;
+    case W_CEIL:   vm->tos = scal(std::ceil((double)vm->tos)); break;
+    case W_FLOOR:  vm->tos = scal(std::floor((double)vm->tos)); break;
+    // --- logic (epsilon compares) ---
+    case W_ZEQ: vm->tos = fbool(std::fabs((double)vm->tos) < DU_EPS); break;
+    case W_ZLT: vm->tos = fbool((double)vm->tos < -DU_EPS); break;
+    case W_ZGT: vm->tos = fbool((double)vm->tos > DU_EPS); break;
+    case W_EQ:  { double n = vm->ss[--vm->ss_idx];
+                  vm->tos = fbool(std::fabs(n - vm->tos) < DU_EPS); } break;
+    case W_GT:  { double n = vm->ss[--vm->ss_idx];
+                  vm->tos = fbool(n - vm->tos > DU_EPS); } break;
+    case W_LT:  { double n = vm->ss[--vm->ss_idx];
+                  vm->tos = fbool(n - vm->tos < -DU_EPS); } break;
+    case W_NE:  { double n = vm->ss[--vm->ss_idx];
+                  vm->tos = fbool(std::fabs(n - vm->tos) >= DU_EPS); } break;
+    case W_GE:  { double n = vm->ss[--vm->ss_idx];
+                  vm->tos = fbool(n - vm->tos >= -DU_EPS); } break;
+    case W_LE:  { double n = vm->ss[--vm->ss_idx];
+                  vm->tos = fbool(n - vm->tos <= DU_EPS); } break;
+    case W_ULT: { uint32_t t = (uint32_t)d2i(vm->tos);
+                  uint32_t n = (uint32_t)d2i(vm->ss[--vm->ss_idx]);
+                  vm->tos = fbool(n < t); } break;
+    case W_UGT: { uint32_t t = (uint32_t)d2i(vm->tos);
+                  uint32_t n = (uint32_t)d2i(vm->ss[--vm->ss_idx]);
+                  vm->tos = fbool(n > t); } break;
+    // --- return stack ---
+    case W_TOR:   rpush(vm, pop(vm)); break;
+    case W_RFROM: push(vm, rpop(vm)); break;
+    case W_RAT:   push(vm, dup_du(vm->rs[vm->rs_idx - 1])); break;
+    case W_I:     push(vm, vm->rs[vm->rs_idx - 1]); break;
+    case W_EXIT:  vm->ip = d2i(rpop(vm)); break;
+    case W_BL:    push(vm, 32.0f); break;
+    case W_DEPTH: push(vm, scal((double)vm->ss_idx - 1.0)); break;
+    default: break;
+    }
+}
+
+// ---- inner interpreter ------------------------------------------------------------
+// table: int16 per dictionary index (>=0 native id, -1 python callback,
+//        -2 udf colon word)
+// cb(widx): execute python word widx; cb(-1): dataset-aware NEXT
+int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
+    vm->state = ST_NEST;
+    uint8_t *pm = vm->pmem;
+    while (vm->ip && vm->state == ST_NEST) {
+        uint32_t u;
+        memcpy(&u, pm + vm->ip, 4);
+        uint32_t ioff = u & 0xFFFFFF;
+        uint32_t op   = (u >> 24) & 0x1F;
+        bool udf      = (u & 0x40000000u) != 0;
+        bool fexit    = (u & 0x80000000u) != 0;
+        vm->ip += 4;
+        switch (op) {
+        case P_EXIT: vm->ip = d2i(rpop(vm)); break;
+        case P_LIT: {
+            float v;
+            memcpy(&v, pm + vm->ip, 4);
+            vm->ss[vm->ss_idx++] = vm->tos;
+            vm->tos = dup_du(v);
+            vm->ip += 4;
+            if (fexit) vm->ip = d2i(rpop(vm));
+        } break;
+        case P_NEXT: {
+            if (is_obj(vm->tos) && vm->rs_idx > 0 &&
+                is_obj(vm->rs[vm->rs_idx - 1])) {
+                vm->ip -= 4;            // let python re-read the param
+                cb(-1);                 // dataset-aware NEXT
+            }
+            else {
+                float v = vm->rs[vm->rs_idx - 1] - 1.0f;
+                vm->rs[vm->rs_idx - 1] = v;
+                if (v > -1.0f + (float)DU_EPS) vm->ip = (int32_t)ioff;
+                else --vm->rs_idx;
+            }
+        } break;
+        case P_LOOP: {
+            float v = vm->rs[vm->rs_idx - 1] + 1.0f;
+            vm->rs[vm->rs_idx - 1] = v;
+            if (vm->rs[vm->rs_idx - 2] - v > (float)DU_EPS)
+                vm->ip = (int32_t)ioff;
+            else vm->rs_idx -= 2;
+        } break;
+        case P_VAR: {
+            push(vm, (float)((vm->ip + 3) & ~3));
+            if (ioff) vm->ip = (int32_t)ioff;
+            else      vm->ip = d2i(rpop(vm));
+        } break;
+        case P_STR:
+            push(vm, (float)vm->ip);
+            push(vm, (float)ioff);
+            vm->ip += ioff;
+            break;
+        case P_DOTQ:
+            vm->ip -= 4;
+            cb(-2);                     // python prints the string
+            break;
+        case P_BRAN: vm->ip = (int32_t)ioff; break;
+        case P_ZBRAN:
+            if (std::fabs((double)pop(vm)) < DU_EPS) vm->ip = (int32_t)ioff;
+            break;
+        case P_FOR: rpush(vm, pop(vm)); break;
+        case P_DO: {                    // rs.push(ss.pop()); rs.push(POP())
+            rpush(vm, vm->ss[--vm->ss_idx]);        // limit (NOS)
+            rpush(vm, vm->tos);                     // index (TOS)
+            vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f;
+        } break;
+        case P_KEY:
+            vm->ip -= 4;
+            cb(-3);
+            break;
+        default: {                      // dictionary call
+            if (udf) {
+                rpush(vm, (float)vm->ip);
+                vm->ip = (int32_t)ioff;
+            }
+            else {
+                int16_t nid = (int32_t)ioff < table_len
+                              ? table[ioff] : (int16_t)-1;
+                if (nid >= 0) native_word(vm, nid);
+                else cb((int32_t)ioff);
+            }
+        } break;
+        }
+    }
+    return vm->state;
+}
+
+}  // extern "C"

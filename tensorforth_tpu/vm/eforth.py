@@ -26,6 +26,7 @@ class ForthVM(VM):
         self.pmem: PMem = sys.mu.pmem
         self.dict: Dictionary = sys.mu.dict
         self.pmem.set_base(vm_id, 10)
+        self._engine = None          # native inner interpreter (csrc/t4core)
 
     # --- base (radix) stored in pmem user area ----------------------------
     @property
@@ -96,6 +97,11 @@ class ForthVM(VM):
     # inner interpreter
     # ======================================================================
     def nest(self):
+        if self._engine is not None:
+            return self._engine.nest()
+        return self._py_nest()
+
+    def _py_nest(self):
         self.state = VMState.NEST
         pm = self.pmem
         rs = self.rs
@@ -645,6 +651,19 @@ class ForthVM(VM):
             vm.state = VMState.STOP
         CODE("bye", _bye)
         CODE("boot", lambda vm: vm.dict.clear(vm.dict.find("boot") + 1))
+
+        # --- native inner-interpreter dispatch table -----------------------
+        # record base (scalar) definitions for the C engine; later tiers'
+        # redefinitions (tensor max/min/@ ...) keep their own indices and
+        # trampoline back to Python.
+        from ..runtime.native import NATIVE_WORDS, NativeEngine, get_core
+        self.dict.native = {}
+        for nm, nid in NATIVE_WORDS.items():
+            w = self.dict.find(nm)
+            if w:
+                self.dict.native[w] = nid
+        if get_core() is not None:
+            self._engine = NativeEngine(self)
 
     # --- tiny ALU adapters --------------------------------------------------
     def _fun(self, f):
