@@ -5,6 +5,7 @@ Reference: src/ten4.{h,cu} + src/opt.h.
 from __future__ import annotations
 
 import argparse
+import os
 import sys as _sys
 
 from .config import Config
@@ -14,9 +15,24 @@ from .mu.mmu import MMU
 from .vm.vm import vm_factory, VMState
 
 
+def _enable_compile_cache():
+    """persistent XLA compilation cache — interactive words compile once
+    per (op, shape) signature across sessions (SURVEY.md §7 hard-part #1)"""
+    try:
+        import jax
+        cache = os.environ.get("T4_JAX_CACHE",
+                               os.path.expanduser("~/.cache/t4_jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass
+
+
 class TensorForth:
     def __init__(self, fin=None, fout=None, verbose: int = 0,
                  tb_logdir: str = None, tb_run_id: str = None):
+        _enable_compile_cache()
         self.sys = System.get_sys(fin, fout, verbose)
         self.sys.mu = MMU.get_mmu()
         self.sys.db = Debug.get_db(self.sys)

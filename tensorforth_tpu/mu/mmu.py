@@ -33,6 +33,12 @@ class MMU:
         self._alloc_bytes = 0
         self._peak_bytes = 0
         self._num_alloc = 0
+        # native TLSF arena accounting (csrc/t4alloc; reference mu/tlsf)
+        from ..runtime.native import get_alloc
+        self._tlsf = get_alloc()
+        if self._tlsf is not None:
+            self._tlsf.t4_tlsf_init(Config.OSTORE_SZ)
+        self._offs: dict[int, int] = {}       # oid -> arena offset
 
     @classmethod
     def get_mmu(cls) -> "MMU":
@@ -52,8 +58,13 @@ class MMU:
         self._objs[oid] = obj
         self._num_alloc += 1
         if hasattr(obj, "numel"):
-            self._alloc_bytes += obj.numel * 4
+            nbytes = obj.numel * 4
+            self._alloc_bytes += nbytes
             self._peak_bytes = max(self._peak_bytes, self._alloc_bytes)
+            if self._tlsf is not None and not obj.is_model():
+                off = self._tlsf.t4_tlsf_malloc(max(nbytes, 4))
+                if off != (1 << 64) - 1:
+                    self._offs[oid] = off
         return obj
 
     def du2obj(self, v):
@@ -103,6 +114,9 @@ class MMU:
             return
         if hasattr(obj, "numel"):
             self._alloc_bytes -= obj.numel * 4
+        off = self._offs.pop(obj.oid, None)
+        if off is not None and self._tlsf is not None:
+            self._tlsf.t4_tlsf_free(off)
         del self._objs[obj.oid]
         # free grad/momentum chains (reference mmu.cu:247-265)
         if isinstance(obj, Tensor):
@@ -135,9 +149,17 @@ class MMU:
                 f"tfree[{len(self._marked)}/{Config.TFREE_SZ}]\n")
         live = len(self._objs)
         sys.pstr(f"\\   Mpool obj#used[{live}] id#next[{self._next_id}]\n")
-        sys.pstr(
-            f"\\   Ostore used[{self._alloc_bytes}] "
-            f"peak[{self._peak_bytes}] alloc#[{self._num_alloc}]\n")
+        if self._tlsf is not None:
+            import ctypes
+            st = (ctypes.c_uint64 * 5)()
+            self._tlsf.t4_tlsf_status(st)
+            sys.pstr(
+                f"\\   Ostore(TLSF) arena[{st[0]}] used[{st[1]}] "
+                f"peak[{st[2]}] alloc#[{st[3]}] free#[{st[4]}]\n")
+        else:
+            sys.pstr(
+                f"\\   Ostore used[{self._alloc_bytes}] "
+                f"peak[{self._peak_bytes}] alloc#[{self._num_alloc}]\n")
 
     def clear(self, i: int):
         self.dict.clear(i)
