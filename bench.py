@@ -40,18 +40,21 @@ def bench_gemm(n_iter: int = 64, size: int = 1024) -> float:
         x, _ = jax.lax.scan(body, x, None, length=n_iter)
         return x
 
-    def timed(fn, reps=3):
-        fn(a, x0).block_until_ready()          # warm & compile
+    def timed(fn, reps=3, tag=""):
+        print(f"[bench] compiling {tag} ...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        float(fn(a, x0)[0, 0])                 # warm & compile & sync
+        print(f"[bench] {tag} compiled+warm in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             r = fn(a, x0)
-            r.block_until_ready()
             float(r[0, 0])                     # force real readback
             best = min(best, time.perf_counter() - t0)
         return n_iter * 2.0 * size ** 3 / best / 1e9
 
-    gf_xla = timed(chain_xla)
+    gf_xla = timed(chain_xla, tag="xla")
 
     @jax.jit
     def chain_pallas(a, x):
@@ -61,7 +64,7 @@ def bench_gemm(n_iter: int = 64, size: int = 1024) -> float:
         return x
 
     try:
-        gf_pal = timed(chain_pallas)
+        gf_pal = timed(chain_pallas, tag="pallas")
     except Exception:
         gf_pal = 0.0
     return gf_xla, gf_pal
@@ -84,15 +87,49 @@ def bench_mnist(n_steps: int = 30, batch: int = 100):
     y = jnp.tile(jnp.eye(10, dtype=jnp.float32),
                  (batch // 10, 1)).reshape(batch, 1, 10, 1)
     key = jax.random.PRNGKey(7)
+    print("[bench] compiling mnist train step ...", file=sys.stderr, flush=True)
     params, opt, loss = step(params, opt, x, y, key)     # compile
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt, loss = step(params, opt, x, y,
                                  jax.random.fold_in(key, i))
     lv = float(loss)                                     # sync
     dt = time.perf_counter() - t0
-    return n_steps * batch / dt, dt / n_steps * 1000.0
+    sps_interactive = n_steps * batch / dt
+
+    # --- epoch mode: device-resident batches, lax.scan over the epoch ---
+    # (the TPU-first data path: one dispatch per EPOCH, not per batch)
+    from tensorforth_tpu.parallel.trainer import _loss_pure
+    n_batches = 64
+    xs = jax.random.uniform(jax.random.PRNGKey(1),
+                            (n_batches, batch, 28, 28, 1))
+    ys = jnp.tile(y[None], (n_batches, 1, 1, 1, 1))
+
+    @jax.jit
+    def epoch(params, opt_state, xs, ys, key):
+        def body(carry, xy):
+            p, o = carry
+            x_, y_ = xy
+            p, o, l = _step_body(p, o, x_, y_, key)
+            return (p, o), l
+
+        (p, o), ls = jax.lax.scan(body, (params, opt_state), (xs, ys))
+        return p, o, ls.mean()
+
+    # reuse the same optimizer math as make_train_step, un-jitted
+    from tensorforth_tpu.parallel import trainer as _tr
+    _step_body = _tr.make_train_step(program, loss="ce", lr=1e-3, jit=False)
+
+    print("[bench] compiling epoch scan ...", file=sys.stderr, flush=True)
+    p2, o2, l2 = epoch(params, opt, xs, ys, key)
+    float(l2)
+    t0 = time.perf_counter()
+    p2, o2, l2 = epoch(params, opt, xs, ys, key)
+    float(l2)
+    dt_e = time.perf_counter() - t0
+    sps_epoch = n_batches * batch / dt_e
+    return sps_interactive, dt / n_steps * 1000.0, sps_epoch
 
 
 def main():
@@ -105,7 +142,7 @@ def main():
         pass
     dev = jax.devices()[0]
     gf_xla, gf_pal = bench_gemm()
-    sps, ms_step = bench_mnist()
+    sps, ms_step, sps_epoch = bench_mnist()
     best = max(gf_xla, gf_pal)
     print(json.dumps({
         "metric": "GEMM 1024^3 f32 GFLOP/s (chained, synced)",
@@ -118,6 +155,7 @@ def main():
             "gemm_pallas_gflops": round(gf_pal, 1),
             "mnist_cnn_samples_per_sec": round(sps, 0),
             "mnist_cnn_ms_per_batch100": round(ms_step, 3),
+            "mnist_cnn_epoch_mode_samples_per_sec": round(sps_epoch, 0),
             "reference_gemm_gflops": round(REF_GEMM_GFLOPS, 1),
         },
     }))

@@ -44,6 +44,10 @@ class TensorForth:
         self.vm = vm_factory(level, 0, self.sys)
         self.vm.init()
         self.vm.state = VMState.QUERY
+        if verbose > 1:                      # reference Debug::self_tests
+            self.sys.db.dict_dump()
+            self.sys.db.words()
+            self.sys.db.mem_dump(0, 256)
 
     def run_line(self, line: str):
         self.sys.load_line(line)

@@ -177,7 +177,9 @@ class AIO:
     # =====================================================================
     def tsave(self, t, fname: str, raw: bool = False) -> int:
         try:
-            if raw:
+            if fname.endswith(".npy"):
+                np.save(fname, t.numpy().reshape(t.shape))
+            elif raw:
                 with open(fname, "wb") as fs:
                     self._tsave_raw(fs, t)
             else:
@@ -200,6 +202,9 @@ class AIO:
 
     def tload(self, t, fname: str) -> int:
         try:
+            if fname.endswith(".npy"):
+                t.set_numpy(np.load(fname).astype(np.float32))
+                return 0
             with open(fname, "rb") as fs:
                 hdr = fs.read(2)
                 if hdr == b"T4":

@@ -296,9 +296,28 @@ class Model:
             self.onehot_from_dataset(inp)
             self._hit = self.hit(True)
         if sys.trace:
-            sys.pstr(f"\\ Model::forward[{self.numel - 1}] "
-                     f"batch={n0.N()} done\n")
+            self._trace_pass("forward", range(self.numel - 1))
         return self
+
+    def _trace_pass(self, name: str, order):
+        """per-layer trace (reference forward.cu:44-51/backprop.cu:41-47)"""
+        from ..system import System
+        from ..ops import engine
+        sys = System.get_sys()
+        sys.pstr(f"\nModel::{name} trace {{")
+        for i in order:
+            t_in, t_out = self[i], self[i + 1]
+            s = engine.t_sum(t_in.ensure_data()) / t_in.N() / max(t_in.C(), 1)
+            sys.pstr(
+                f"\n  {i:3d}> {Model.nname(t_in.grad_fn)} "
+                f"[{t_in.N():2d},{t_in.H():2d},{t_in.W():2d},{t_in.C():2d}]"
+                f" Σ/n={s:6.2f} p={float(t_in.xparm):6.3f}"
+                f" => out[{t_out.N():2d},{t_out.H():2d},"
+                f"{t_out.W():2d},{t_out.C():2d}]")
+            if sys.trace > 1 and engine.has_nan(t_out.ensure_data()):
+                sys.pstr(f"\n  WARN NaN in {Model.nname(t_in.grad_fn)}")
+                self.err = 1
+        sys.pstr("\n}\n")
 
     # =========================================================================
     # backprop (reference backprop.cu)
@@ -341,6 +360,9 @@ class Model:
                 t_in.grad[2].replace_data(ndws[j].reshape(w.shape))
             if t_in.grad[3] is not None:
                 t_in.grad[3].replace_data(ndbs[j])
+        from ..system import System
+        if System.get_sys().trace:
+            self._trace_pass("backprop", range(self.numel - 2, -1, -1))
         return self
 
     def _gather_masks(self):

@@ -57,6 +57,11 @@ def map_op(op: str, x, v=0.0):
 
 @jax.jit
 def _identity_like(x):
+    """eye over the (H, W) plane: rank-2 direct, rank-4 per (N, C) slice"""
+    if x.ndim == 4:
+        n, h, w, c = x.shape
+        return jnp.broadcast_to(
+            jnp.eye(h, w, dtype=jnp.float32)[None, :, :, None], x.shape)
     h, w = x.shape[-2], x.shape[-1]
     return jnp.broadcast_to(jnp.eye(h, w, dtype=jnp.float32), x.shape)
 

@@ -42,9 +42,10 @@ def _loss_pure(program, params, x, tgt, key, loss: str):
 
 
 def make_train_step(program, loss: str = "ce", lr: float = 1e-3,
-                    b1: float = 0.9, b2: float = 0.999):
-    """returns jitted step(params, opt_state, x, tgt, key)
-    -> (params', opt_state', loss)"""
+                    b1: float = 0.9, b2: float = 0.999, jit: bool = True):
+    """returns (jitted) step(params, opt_state, x, tgt, key)
+    -> (params', opt_state', loss); pass jit=False to compose the raw
+    step into a larger program (e.g. a lax.scan epoch)"""
 
     def step(params, opt_state, x, tgt, key):
         lval, grads = jax.value_and_grad(
@@ -67,7 +68,7 @@ def make_train_step(program, loss: str = "ce", lr: float = 1e-3,
             new_v.append(tuple(nv_l))
         return (tuple(new_p), (tuple(new_m), tuple(new_v), t), lval)
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
 
 def init_opt_state(params):

@@ -97,6 +97,10 @@ class ForthVM(VM):
     # inner interpreter
     # ======================================================================
     def nest(self):
+        if self._engine is None and getattr(self.dict, "native", None):
+            from ..runtime.native import NativeEngine, get_core
+            if get_core() is not None:
+                self._engine = NativeEngine(self)
         if self._engine is not None:
             return self._engine.nest()
         return self._py_nest()
@@ -656,14 +660,18 @@ class ForthVM(VM):
         # record base (scalar) definitions for the C engine; later tiers'
         # redefinitions (tensor max/min/@ ...) keep their own indices and
         # trampoline back to Python.
-        from ..runtime.native import NATIVE_WORDS, NativeEngine, get_core
+        from ..runtime.native import NATIVE_WORDS
         self.dict.native = {}
         for nm, nid in NATIVE_WORDS.items():
             w = self.dict.find(nm)
             if w:
                 self.dict.native[w] = nid
-        if get_core() is not None:
-            self._engine = NativeEngine(self)
+
+        # --- multitasking words (reference vm.h:62-79 DO_MULTITASK
+        # scaffold, declared but compiled out there; realized here as a
+        # host thread pool — device-level scaling goes through parallel/)
+        from .multitask import register_multitask_words
+        register_multitask_words(self.dict)
 
     # --- tiny ALU adapters --------------------------------------------------
     def _fun(self, f):
