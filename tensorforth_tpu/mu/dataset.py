@@ -63,7 +63,29 @@ class Dataset(Tensor):
         return self.fetch(None, rewind=1, trace=trace)
 
     def _load(self, data: np.ndarray, label: np.ndarray):
+        """stage batch on device: normalize (x-mean)*1/scale runs as a
+        jitted device op over a device-resident U8 corpus cache, so the
+        per-batch H2D transfer happens once per corpus, not per epoch"""
+        import jax
+        import jax.numpy as jnp
         n = data.shape[0]
+        cp = self._corpus
+        if getattr(cp, "_dev_cache", None) is None and hasattr(cp, "_read"):
+            try:                                   # whole-corpus upload
+                full, _ = cp._read(0, cp.size)
+                cp._dev_cache = jax.device_put(
+                    jnp.asarray(full, dtype=jnp.uint8))
+            except Exception:
+                cp._dev_cache = False
+        if getattr(cp, "_dev_cache", None) is not None and \
+                cp._dev_cache is not False and n == self.batch_sz:
+            pos = self._pos_of_batch()
+            d = jax.lax.dynamic_slice_in_dim(cp._dev_cache, pos,
+                                             self.batch_sz, 0)
+            self.replace_data(((d.astype(jnp.float32) - self._mean)
+                               * self._scale).reshape(self.shape))
+            self.label = label.astype(np.uint32)
+            return
         d = (data.astype(np.float32) - self._mean) * self._scale
         if n < self.batch_sz:                      # partial tail batch
             pad = np.zeros((self.batch_sz - n,) + d.shape[1:], np.float32)
@@ -74,3 +96,7 @@ class Dataset(Tensor):
             lbl = label.astype(np.uint32)
         self.set_numpy(d.reshape(self.shape))
         self.label = lbl
+
+    def _pos_of_batch(self) -> int:
+        """corpus offset of the batch just fetched"""
+        return self._corpus._pos - self.batch_sz
