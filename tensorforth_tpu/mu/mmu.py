@@ -121,9 +121,19 @@ class MMU:
         # free grad/momentum chains (reference mmu.cu:247-265)
         if isinstance(obj, Tensor):
             for g in list(obj.grad) + list(obj.mtum):
-                if isinstance(g, Tensor) and g.oid in self._objs:
+                if isinstance(g, Tensor) and g is not obj \
+                        and g.oid in self._objs:
                     self.free_obj(g)
-        obj.data = None
+            obj.data = None
+        elif getattr(obj, "is_model", lambda: False)():
+            # free all layer tensors + onehot/loss (reference mmu free(Model&))
+            for t in list(getattr(obj, "data", [])):
+                if isinstance(t, Tensor) and t.oid in self._objs:
+                    self.free_obj(t)
+            for t in (getattr(obj, "_hot", None), getattr(obj, "_loss", None)):
+                if isinstance(t, Tensor) and t.oid in self._objs:
+                    self.free_obj(t)
+            obj.data = []
 
     def mark_free(self, v):
         """deferred free — swept per REPL cycle (reference mmu.cu:169-196)"""

@@ -515,11 +515,12 @@ class Model:
 
     def hit(self, recalc: bool = False) -> int:
         if not recalc:
-            return self._hit
+            return int(self._hit)      # syncs only when the word reads it
         if self._hot is None:
             return 0
-        return int(funcs.hit_fn(self[-1].ensure_data(),
-                                self._hot.ensure_data()))
+        # async device argmax-compare; host conversion deferred
+        return funcs.hit_fn(self[-1].ensure_data(),
+                            self._hot.ensure_data())
 
     def loss(self, op: int, tgt: Tensor | None = None) -> float:
         if tgt is None:
