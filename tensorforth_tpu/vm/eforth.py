@@ -74,7 +74,14 @@ class ForthVM(VM):
             self.add_w(w)
         else:
             self.ip = 0
-            self.call(w)
+            try:
+                self.call(w)
+            except Exception as ex:        # keep the REPL alive on word errors
+                self.sys.perr("", f"ERROR in '{idiom}': {ex} ")
+                if self.sys.trace:
+                    import traceback
+                    traceback.print_exc(file=self.sys.fout)
+                self.state = VMState.QUERY
         return w
 
     def number(self, idiom: str):
