@@ -497,6 +497,27 @@ class NetVM(TensorVM):
         CODE("nn.ex", lambda vm: vm._get_parm(4))
         CODE("nn.w=", lambda vm: vm._set_parm(0))
         CODE("nn.b=", lambda vm: vm._set_parm(1))
+        # --- extension: fused epoch training (TPU fast path) ----------------
+        def _nn_train(vm):
+            """( M D lr epochs -- M ) extension word: train the model on
+            the dataset with Adam for n epochs as ONE lax.scan-jitted XLA
+            program per epoch — the device-resident path bench.py measures
+            (~80x the per-word dispatch loop on a tunneled chip)."""
+            if not (vm.ss.size() > 2 and vm.IS_M(vm.ss[-3])):
+                vm.sys.perr("", "M D lr epochs nn.train? ")
+                return
+            epochs = vm.POPi()
+            lr = float(vm.POP())
+            dsv = vm.POP()
+            ds = vm.mmu.du2obj(dsv)
+            m = vm.MTOS()
+            from ..nn.train import train_epochs
+            loss = train_epochs(m, ds, lr=lr, epochs=epochs,
+                                trace=vm.sys.trace)
+            vm.DROP_DU(dsv)
+            vm.sys.pstr(f"\\ nn.train {epochs} epochs done, "
+                        f"final loss={loss:.6g}\n")
+        CODE("nn.train", _nn_train)
         # --- overrides ------------------------------------------------------------------------------------------
         CODE("boot", lambda vm: vm.dict.clear(vm.dict.find("network") + 1))
         CODE("flatten", lambda vm: vm._nnop(Layer.FLATTEN))
