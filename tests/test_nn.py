@@ -165,3 +165,18 @@ def test_onehot_and_hit(t4):
     t4.forth("4 vector{ 1 0 0 1 } 2 1 2 1 reshape4 nn.onehot=")
     out = t4.forth("nn.hit .")
     assert out.split()[0] in ("0", "1", "2")
+
+
+def test_nn_train_fused(t4, monkeypatch):
+    """nn.train extension: fused scan-epoch training improves the model"""
+    monkeypatch.setenv("T4_MAX_BATCH", "5")
+    t4.forth("""0 trace
+16 28 28 1 nn.model
+flatten 32 linear relu 10 linear softmax
+constant mt
+mt batchsize dataset mnist_train constant dst
+mt dst 0.005 4 nn.train""")
+    out = t4.forth("dst rewind\nmt dst forward nn.hit .")
+    last = [l for l in out.strip().split("\n") if l][-1]
+    hits = int(float(last.split()[0]))
+    assert hits >= 12            # >= 75% on a seen batch after 4 epochs
