@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_GEMM_GFLOPS = 2.0 * 1024 ** 3 / 3.2e-3 / 1e9        # 671.1
 
 
-def bench_gemm(n_iter: int = 64, size: int = 1024) -> float:
+def bench_gemm(n_iter: int = 512, size: int = 1024) -> float:
+    # n_iter sized so device time >> tunnel RTT (~25 ms): 512 x 2.1 GFLOP
+    # is ~1.1 TFLOP, tens of ms even at full MXU rate.
     import jax
     import jax.numpy as jnp
     import numpy as np

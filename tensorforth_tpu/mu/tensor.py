@@ -40,6 +40,7 @@ class Tensor:
         self.iparm = 0
         self.train = 1
         self.err = 0
+        self._host = None                  # host mirror (valid when set)
 
     # --- dimensional accessors (reference NHWC) ---------------------------
     @property
@@ -96,16 +97,25 @@ class Tensor:
         if tuple(arr.shape) != self.shape:
             arr = arr.reshape(self.shape)
         self.data = arr
+        self._host = None                  # device is now authoritative
         from ..ops.engine import track
         track(arr)
         return self
 
     def numpy(self) -> np.ndarray:
-        return np.asarray(self.ensure_data(), dtype=np.float32)
+        """host copy; mirrors host-staged payloads to avoid device
+        round-trips for prints of literal-built tensors"""
+        if getattr(self, "_host", None) is not None:
+            return self._host
+        a = np.asarray(self.ensure_data(), dtype=np.float32)
+        self._host = a
+        return a
 
     def set_numpy(self, a: np.ndarray):
         import jax.numpy as jnp
+        a = np.asarray(a, dtype=np.float32)
         self.data = jnp.asarray(a, dtype=jnp.float32).reshape(self.shape)
+        self._host = a.reshape(self.shape)
         return self
 
     # --- reshape (header-only, payload reshaped lazily) ---------------------
@@ -118,6 +128,8 @@ class Tensor:
             raise ValueError(f"reshape {self.shape} -> {dims} numel mismatch")
         if self.data is not None:
             self.data = self.data.reshape(dims)
+        if getattr(self, "_host", None) is not None:
+            self._host = self._host.reshape(dims)
         self.shape = dims
         self.rank = len(dims)
         return self
