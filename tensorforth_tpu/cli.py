@@ -20,6 +20,9 @@ def _enable_compile_cache():
     per (op, shape) signature across sessions (SURVEY.md §7 hard-part #1)"""
     try:
         import jax
+        if jax.default_backend() == "cpu":
+            return        # XLA:CPU AOT cache entries are machine-flag
+            #               sensitive and reload unreliably — TPU only
         cache = os.environ.get("T4_JAX_CACHE",
                                os.path.expanduser("~/.cache/t4_jax"))
         os.makedirs(cache, exist_ok=True)

@@ -75,8 +75,9 @@ class MMU:
 
     # --- factories -----------------------------------------------------------
     def tensor(self, *dims) -> Tensor:
+        # payload materializes lazily: factory-then-overwrite patterns
+        # (matmul results, literal capture) never allocate the zeros
         t = Tensor(*dims)
-        t.ensure_data()
         self.register(t)
         return t
 
