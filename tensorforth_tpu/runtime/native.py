@@ -73,6 +73,23 @@ def _build_and_load(name: str):
 
 _core = None
 _alloc = None
+_tb = None
+
+
+def get_tb():
+    global _tb
+    if _tb is None and not os.environ.get("T4_NO_NATIVE"):
+        lib = _build_and_load("t4tb")
+        if lib is not None:
+            lib.t4_crc32c.restype = C.c_uint32
+            lib.t4_crc32c.argtypes = [C.c_char_p, C.c_uint64, C.c_uint32]
+            lib.t4_masked_crc32c.restype = C.c_uint32
+            lib.t4_masked_crc32c.argtypes = [C.c_char_p, C.c_uint64]
+            lib.t4_tfrecord_frame.restype = C.c_uint64
+            lib.t4_tfrecord_frame.argtypes = [C.c_char_p, C.c_uint64,
+                                              C.c_char_p]
+            _tb = lib
+    return _tb
 
 
 def get_core():
