@@ -288,8 +288,18 @@ class ForthVM(VM):
             self.add_w(self.dict.find("is"))
         else:
             src = self.dict[w]
-            dst = self.dict[self.POPi()]
+            widx = self.POPi()
+            dst = self.dict[widx]
             dst.fn, dst.udf, dst.pfa = src.fn, src.udf, src.pfa
+            native = getattr(self.dict, "native", None)
+            if native is not None:
+                # retarget the native dispatch entry to match the alias
+                if w in native:
+                    native[widx] = native[w]
+                else:
+                    native.pop(widx, None)
+                if self._engine is not None:
+                    self._engine._table = None       # force table rebuild
 
     def _ss_dump(self):
         self.sys.db.ss_dump(self.id, self.tos, self.ss, self.BASE)
