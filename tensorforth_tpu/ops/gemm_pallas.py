@@ -45,8 +45,24 @@ def _mm_kernel(a_ref, b_ref, o_ref, acc):
         o_ref[:] = acc[:]
 
 
-@partial(jax.jit, static_argnames=("bm", "bn", "bk"))
-def _mm_pallas(a, b, bm: int, bn: int, bk: int):
+def _mm_kernel_bf16(a_ref, b_ref, o_ref, acc):
+    """bf16 multiplicands + f32 accumulation — the MXU's native single-pass
+    mode (same numerics class as XLA's default-precision f32 dot)"""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += jnp.dot(a_ref[:].astype(jnp.bfloat16),
+                      b_ref[:].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = acc[:]
+
+
+@partial(jax.jit, static_argnames=("bm", "bn", "bk", "bf16"))
+def _mm_pallas(a, b, bm: int, bn: int, bk: int, bf16: bool = False):
     m, k = a.shape
     _, n = b.shape
     a = _pad_to(a, bm, bk)
@@ -55,7 +71,7 @@ def _mm_pallas(a, b, bm: int, bn: int, bk: int):
     _, np_ = b.shape
     grid = (mp // bm, np_ // bn, kp // bk)
     out = pl.pallas_call(
-        _mm_kernel,
+        _mm_kernel_bf16 if bf16 else _mm_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
@@ -76,16 +92,24 @@ def _mm_pallas(a, b, bm: int, bn: int, bk: int):
     return out[:m, :n]
 
 
+def _clamp(v, lim):
+    return lim if v >= lim else 128
+
+
 def mm_pallas(a, b, variant: int = 3):
+    """tile shapes from an on-chip sweep (docs/STATUS_r1.md):
+    256x256xK1024 best for f32 accuracy; 512x512xK1024 + bf16
+    multiplicands (variant 4) approaches the XLA default-precision dot"""
     m, k = a.shape
     _, n = b.shape
     if variant == 2:
-        return _mm_pallas(a, b, 128, 128, max(k, 128) if k <= 2048 else 512)
+        return _mm_pallas(a, b, _clamp(m, 256), _clamp(n, 256),
+                          max(k, 128) if k <= 2048 else 1024)
     if variant == 4:
-        bm = 256 if m >= 256 else 128
-        bn = 256 if n >= 256 else 128
-        return _mm_pallas(a, b, bm, bn, 512 if k >= 512 else 128)
-    return _mm_pallas(a, b, 128, 128, 512 if k >= 512 else 128)
+        return _mm_pallas(a, b, _clamp(m, 512), _clamp(n, 512),
+                          1024 if k >= 1024 else max(k, 128), bf16=True)
+    return _mm_pallas(a, b, _clamp(m, 256), _clamp(n, 256),
+                      1024 if k >= 1024 else max(k, 128))
 
 
 @partial(jax.jit, static_argnames=("ta", "tb", "variant"))
