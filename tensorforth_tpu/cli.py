@@ -89,12 +89,34 @@ def main(argv=None):
                     help="TensorBoard run id")
     ap.add_argument("-h2", "--list-devices", action="store_true",
                     help="list devices and properties")
+    ap.add_argument("--bench", nargs=3, type=int, metavar=("M", "K", "N"),
+                    help="run an MxKxN GEMM benchmark and exit "
+                         "(reference opt.h GEMM bench dims)")
     args = ap.parse_args(argv)
 
     if args.list_devices:
         import jax
         for d in jax.devices():
             print(f"  [{d.id}] {d.device_kind} platform={d.platform}")
+        return 0
+
+    if args.bench:
+        import time
+        import jax
+        import jax.numpy as jnp
+        m, k, n = args.bench
+        a = jax.random.uniform(jax.random.PRNGKey(1), (m, k), jnp.float32)
+        b = jax.random.uniform(jax.random.PRNGKey(2), (k, n), jnp.float32)
+        c = jnp.dot(a, b, preferred_element_type=jnp.float32)
+        float(c[0, 0])
+        reps = max(1, (1 << 30) // max(1, 2 * m * k * n))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            c = jnp.dot(a, b, preferred_element_type=jnp.float32)
+        float(c[0, 0])
+        dt = (time.perf_counter() - t0) / reps
+        print(f"GEMM [{m},{k}]@[{k},{n}]: {dt * 1e3:.3f} ms "
+              f"({2.0 * m * k * n / dt / 1e9:.1f} GFLOP/s)")
         return 0
 
     t4 = TensorForth(verbose=args.verbose,

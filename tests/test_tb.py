@@ -136,3 +136,19 @@ def test_projector(t4, tmp_path):
     cfg = tmp_path / "re" / "projector_config.pbtxt"
     assert cfg.exists()
     assert "e0_tensors.tsv" in cfg.read_text()
+
+
+def test_flatbuffer_builder():
+    from tensorforth_tpu.tb.flatbuf import FlatBufferBuilder
+    b = FlatBufferBuilder()
+    s = b.create_string("hello")
+    v = b.create_vector_f32([1.0, 2.0, 3.0])
+    b.start_table(2)
+    b.slot_offset(0, s)
+    b.slot_offset(1, v)
+    root = b.end_table()
+    data = b.finish(root)
+    assert b"hello" in data
+    import struct
+    root_rel = struct.unpack_from("<I", data, 0)[0]
+    assert 0 < root_rel < len(data)
