@@ -37,7 +37,9 @@ class System:
         self.mu = None           # MMU, set by bootstrap
         self.db = None           # Debug
         self.tb = None           # tb.Summary when -t logdir given
-        self._rng_seed = int(time.time()) & 0x7FFFFFFF
+        import os
+        self._rng_seed = int(os.environ.get(
+            "T4_SEED", int(time.time()) & 0x7FFFFFFF))
 
     # --- singleton ---------------------------------------------------------
     @classmethod

@@ -61,7 +61,7 @@ class EventWriter:
 
     def add_image(self, tag: str, png: bytes, h: int, w: int):
         img = (e.f_varint(1, h) + e.f_varint(2, w)
-               + e.f_varint(3, 3) + e.f_bytes(6, png))
+               + e.f_varint(3, 3) + e.f_bytes(4, png))
         val = e.f_str(1, tag) + e.f_msg(4, img)
         self._write_summary(e.f_msg(1, val))
 

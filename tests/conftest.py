@@ -28,6 +28,7 @@ def t4():
     from tensorforth_tpu.debug import Debug
     from tensorforth_tpu.io.aio import AIO
 
+    os.environ.setdefault("T4_SEED", "42")   # deterministic RNG for goldens
     System.free_sys()
     MMU.free_mmu()
     Debug.free_db()
