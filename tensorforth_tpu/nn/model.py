@@ -22,6 +22,8 @@ from ..mu.tensor import Tensor, T4Type
 from .ntypes import Layer, Loss, Optimizer
 from . import funcs
 
+_ZERO1 = None                    # lazy shared placeholder gradient
+
 
 class Model:
     def __init__(self, mmu, trace: int = 0):
@@ -382,6 +384,9 @@ class Model:
         return tuple(masks)
 
     def _gather_grads(self):
+        global _ZERO1
+        if _ZERO1 is None:
+            _ZERO1 = jnp.zeros((1,), jnp.float32)
         dws, dbs = [], []
         for i in range(self.numel - 1):
             t_in = self[i]
@@ -394,8 +399,8 @@ class Model:
                 dws.append(t_in.grad[2].ensure_data())
                 dbs.append(t_in.grad[3].ensure_data())
             else:
-                dws.append(jnp.zeros((1,), jnp.float32))
-                dbs.append(jnp.zeros((1,), jnp.float32))
+                dws.append(_ZERO1)
+                dbs.append(_ZERO1)
         return tuple(dws), tuple(dbs)
 
     # =========================================================================
