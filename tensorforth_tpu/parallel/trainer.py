@@ -42,14 +42,20 @@ def _loss_pure(program, params, x, tgt, key, loss: str):
 
 
 def make_train_step(program, loss: str = "ce", lr: float = 1e-3,
-                    b1: float = 0.9, b2: float = 0.999, jit: bool = True):
+                    b1: float = 0.9, b2: float = 0.999, jit: bool = True,
+                    remat: bool = False):
     """returns (jitted) step(params, opt_state, x, tgt, key)
     -> (params', opt_state', loss); pass jit=False to compose the raw
-    step into a larger program (e.g. a lax.scan epoch)"""
+    step into a larger program (e.g. a lax.scan epoch); remat=True
+    rematerializes the forward pass in backward (trade FLOPs for HBM —
+    use for activation-bound deep nets)"""
+    loss_fn = _loss_pure
+    if remat:
+        loss_fn = jax.checkpoint(_loss_pure, static_argnums=(0, 5))
 
     def step(params, opt_state, x, tgt, key):
         lval, grads = jax.value_and_grad(
-            lambda p: _loss_pure(program, p, x, tgt, key, loss))(params)
+            lambda p: loss_fn(program, p, x, tgt, key, loss))(params)
         m, v, t = opt_state
         t = t + 1
         lr_t = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)

@@ -66,3 +66,25 @@ def test_graft_entry_single():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (100, 1, 10, 1)
+
+
+@needs_mesh
+def test_remat_train_step_matches():
+    """jax.checkpoint'd step must produce identical updates"""
+    from tensorforth_tpu.models import mnist_cnn
+    from tensorforth_tpu.parallel.trainer import (make_train_step,
+                                                  init_opt_state)
+    model = mnist_cnn(batch=8)
+    program = model._program()
+    params = model._params()
+    x = jnp.asarray(np.random.RandomState(3).rand(8, 28, 28, 1), jnp.float32)
+    y = jnp.zeros((8, 1, 10, 1), jnp.float32).at[:, 0, 0, 0].set(1.0)
+    key = jax.random.PRNGKey(0)
+    copy = lambda p: jax.tree.map(jnp.copy, p)   # steps donate their inputs
+    p1, _, l1 = make_train_step(program)(copy(params),
+                                         init_opt_state(params), x, y, key)
+    p2, _, l2 = make_train_step(program, remat=True)(
+        copy(params), init_opt_state(params), x, y, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1[0][0]), np.asarray(p2[0][0]),
+                               rtol=1e-5, atol=1e-7)
