@@ -59,10 +59,17 @@ class TensorForth:
         self.sys.mu.sweep()
 
     def main_loop(self):
+        """REPL: readline -> outer -> flush -> sweep (+ per-line profile
+        at trace, reference ten4.cu:199-220 per-VM event timing)"""
+        import time as _t
         while self.vm.state != VMState.STOP:
             if not self.sys.readline():
                 break
+            t0 = _t.perf_counter()
             self.vm.outer()
+            if self.sys.trace:
+                self.sys.pstr(
+                    f"\\ VM[{self.vm.id}] {(_t.perf_counter() - t0) * 1e3:.2f} ms\n")
             self.sys.flush()
             self.sys.mu.sweep()
 
@@ -121,9 +128,16 @@ def main(argv=None):
 
     t4 = TensorForth(verbose=args.verbose,
                      tb_logdir=args.tb_logdir, tb_run_id=args.run_id)
+    profile_dir = os.environ.get("T4_PROFILE")
+    if profile_dir:                          # device-level tracing hook
+        import jax
+        jax.profiler.start_trace(profile_dir)
     try:
         t4.main_loop()
     finally:
+        if profile_dir:
+            import jax
+            jax.profiler.stop_trace()
         t4.teardown()
     return 0
 
