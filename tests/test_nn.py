@@ -180,3 +180,10 @@ mt dst 0.005 4 nn.train""")
     last = [l for l in out.strip().split("\n") if l][-1]
     hits = int(float(last.split()[0]))
     assert hits >= 12            # >= 75% on a seen batch after 4 epochs
+
+
+def test_broadcast_word(t4):
+    t4.forth("2 1 2 1 nn.model 2 linear softmax constant bmx")
+    t4.forth("bmx 4 vector{ 1 2 3 4 } 2 1 2 1 reshape4 forward")
+    out = t4.forth("2 vector{ 1 0 } broadcast nn.onehot .")
+    assert "+1.0000 +1.0000" in out and "+0.0000 +0.0000" in out

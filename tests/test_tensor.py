@@ -114,3 +114,21 @@ def test_tensor_save_load(t4, tmp_path):
     assert os.path.exists(p)
     with open(p) as f:
         assert "+1.0000" in f.read()
+
+
+def test_matdiv(t4):
+    out = t4.forth("abort 2 2 matrix{ 6 6 9 9 } 2 2 matrix{ 2 0 0 2 } "
+                   "matdiv .")
+    assert "+3.0000 +3.0000" in out and "+4.5000 +4.5000" in out
+
+
+def test_gradfill(t4):
+    out = t4.forth("abort 4 vector{ 0 0 0 0 } gradfill .")
+    assert "+0.0000 +0.2500 +0.5000 +0.7500" in out
+
+
+def test_same_shape(t4):
+    out = t4.forth("abort 2 2 matrix ones 2 2 matrix ones same_shape? .")
+    assert out.startswith("-1 ")
+    out = t4.forth("abort 2 2 matrix ones 3 3 matrix ones same_shape? .")
+    assert out.startswith("0 ")
