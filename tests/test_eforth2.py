@@ -65,3 +65,30 @@ def test_view_of_constant_mutation(t4):
     t4.forth("M 3 *= drop")
     out = t4.forth("M .")
     assert "+3.0000" in out
+
+
+def test_cli_bench_flag():
+    import subprocess, sys, os
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from tensorforth_tpu.cli import main; main(['--bench','128','128','128'])"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), env=env)
+    assert r.returncode == 0
+    assert "GFLOP/s" in r.stdout
+
+
+def test_cli_list_devices():
+    import subprocess, sys, os
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from tensorforth_tpu.cli import main; main(['--list-devices'])"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), env=env)
+    assert r.returncode == 0 and "[0]" in r.stdout
