@@ -170,6 +170,8 @@ class AIO:
         if fn == Layer.USAMPLE:
             nm = ["nearest", "linear", "bilinear", "cubic"]
             return f"{S}x{S} {nm[t_in.iparm]}"
+        if fn == Layer.ATTN:
+            return f"heads={t_in.iparm}"
         return ""
 
     # =====================================================================

@@ -1,1 +1,1 @@
-from .zoo import mnist_cnn, gan_mnist, cifar_cnn  # noqa: F401
+from .zoo import mnist_cnn, gan_mnist, cifar_cnn, tiny_transformer  # noqa: F401

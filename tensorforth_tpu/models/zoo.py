@@ -55,6 +55,21 @@ def gan_mnist(batch: int = 256):
     return g, d
 
 
+def tiny_transformer(batch: int = 32, seq: int = 16, dim: int = 32,
+                     heads: int = 4, classes: int = 10, layers: int = 2):
+    """sequence classifier: [N, S, E, 1] tokens -> attention blocks ->
+    flatten -> linear softmax (extension tier — the reference's roadmap
+    Transformer, realized with the nn.attn layer + Pallas flash core)"""
+    m = _new_model(batch, seq, dim, 1)
+    for _ in range(layers):
+        m.add(Layer.ATTN, heads)
+        m.add(Layer.TANH)
+    m.add(Layer.FLATTEN)
+    m.add(Layer.LINEAR, classes, 1.0)
+    m.add(Layer.SOFTMAX)
+    return m
+
+
 def cifar_cnn(batch: int = 256):
     """t4_42a M0: conv64+bn+relu+pool / conv128+bn+relu+pool+drop /
     512 linear bn relu drop / 10 linear softmax"""

@@ -142,6 +142,63 @@ def _upsample_fwd(x, k):
     return jnp.repeat(jnp.repeat(x, k, axis=1), k, axis=2)
 
 
+def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True):
+    """multi-head self-attention layer: x [N, S, E, 1], wqkv [3E, E],
+    wo [E, E] -> [N, S, E, 1].  Long aligned sequences route the core
+    through the Pallas flash kernel; short ones (and the backward
+    recompute, which differentiates through XLA) use the fused einsum
+    path — both are exact.
+
+    Extension layer: the reference's roadmap names Transformers as its
+    next tier (README.md:702-720); this realizes it TPU-first."""
+    n, s, e, _ = x.shape
+    dh = e // heads
+    xf = x.reshape(n, s, e)
+    qkv = jnp.dot(xf, wqkv.T, preferred_element_type=jnp.float32)
+    qkv = qkv.reshape(n, s, 3, heads, dh)
+    q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))   # [N, h, S, dh]
+    k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
+    v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+    if (flash and s >= 512 and s % 256 == 0 and dh % 128 == 0
+            and jax.default_backend() == "tpu"):
+        from ..ops.attn_pallas import flash_attention
+        o = flash_attention(q.reshape(n * heads, s, dh),
+                            k.reshape(n * heads, s, dh),
+                            v.reshape(n * heads, s, dh))
+        o = o.reshape(n, heads, s, dh)
+    else:
+        scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.float32(dh))
+        w = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("nhqk,nhkd->nhqd", w, v,
+                       preferred_element_type=jnp.float32)
+    o = jnp.transpose(o, (0, 2, 1, 3)).reshape(n, s, e)
+    out = jnp.dot(o, wo.T, preferred_element_type=jnp.float32)
+    return out.reshape(n, s, e, 1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attn_op(x, wqkv, wo, heads: int):
+    """differentiable MHA: flash forward, XLA-recompute backward"""
+    return _mha_fwd(x, wqkv, wo, heads, flash=True)
+
+
+def _attn_op_fwd(x, wqkv, wo, heads):
+    return _mha_fwd(x, wqkv, wo, heads, flash=True), (x, wqkv, wo)
+
+
+def _attn_op_bwd(heads, res, g):
+    x, wqkv, wo = res
+    _, vjp = jax.vjp(
+        lambda x_, w1, w2: _mha_fwd(x_, w1, w2, heads, flash=False),
+        x, wqkv, wo)
+    return vjp(g)
+
+
+attn_op.defvjp(_attn_op_fwd, _attn_op_bwd)
+
+
 def _batchnorm_fwd(x, gamma, beta):
     """train-mode BN; rvar = 1/(sqrt(pop-var)+eps) (reference k_batchnorm_2)"""
     mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
@@ -181,6 +238,8 @@ def _apply_layer(spec, x, p, key):
         return y, (xhat, rvar)
     if kind == Layer.USAMPLE:
         return _upsample_fwd(x, opts[0]), None
+    if kind == Layer.ATTN:
+        return attn_op(x, p[0], p[1], opts[0]), None
     raise ValueError(f"layer kind {kind}")
 
 
@@ -266,6 +325,15 @@ def get_backward(program, in_shape, train: bool):
             elif kind == Layer.USAMPLE:
                 _, vjp = jax.vjp(lambda x_: _upsample_fwd(x_, opts[0]), x_in)
                 dx, = vjp(dy.reshape(out_shape))
+            elif kind == Layer.ATTN:
+                _, vjp = jax.vjp(
+                    lambda x_, w1, w2: _mha_fwd(x_, w1, w2, opts[0],
+                                                flash=False),
+                    x_in, params[j][0], params[j][1])
+                dx, dw, dwo = vjp(dy.reshape(out_shape))
+                if train:
+                    ndws[j] = ndws[j] + dw
+                    ndbs[j] = ndbs[j] + dwo
             elif kind == Layer.BATCHNM:
                 xhat, rvar = masks[j]
                 gamma = params[j][0]

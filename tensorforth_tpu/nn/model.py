@@ -121,6 +121,8 @@ class Model:
             self._ibatchnorm(t_in, bias)
         elif fn == Layer.USAMPLE:
             self._iup(t_in, int(n), bias)
+        elif fn == Layer.ATTN:
+            self._iattn(t_in, int(n))
         else:
             self._err(f"Model#add layer {fn} not supported")
             return self
@@ -216,6 +218,30 @@ class Model:
         t_in.xparm = m
         self.npush(self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C()))
 
+    def _iattn(self, t_in: Tensor, heads: int):
+        """multi-head self-attention layer (extension): input [N,S,E,1];
+        wqkv [1,3E,E,1] in the weight slot, wo [1,E,E,1] in the bias slot
+        (the optimizer treats slot pairs generically)"""
+        N1, S = t_in.N(), t_in.H()
+        E = t_in.W() * t_in.C()
+        if heads < 1 or E % heads:
+            self._err(f"attn E={E} not divisible by heads={heads}")
+            return
+        wqkv = self._T4(1, 3 * E, E, 1)
+        wo = self._T4(1, E, E, 1)
+        t_in.grad[0], t_in.grad[1] = wqkv, wo
+        t_in.grad[2] = self._T4(1, 3 * E, E, 1)
+        t_in.grad[3] = self._T4(1, E, E, 1)
+        t_in.iparm = heads
+        k = math.sqrt(1.0 / (2 * E))
+        if Config.MM_DEBUG:
+            wqkv.set_numpy(np.full(wqkv.numel, 0.5, np.float32))
+            wo.set_numpy(np.full(wo.numel, 0.5, np.float32))
+        else:
+            self._rand(wqkv, k)
+            self._rand(wo, k)
+        self.npush(self._T4(N1, S, E, 1))
+
     def _iup(self, t_in: Tensor, k: int, method: float):
         if k not in (2, 3):
             self._err(f"upsample k={k}? 2x2 and 3x3 only")
@@ -234,6 +260,8 @@ class Model:
             kind = t_in.grad_fn
             if kind in (Layer.CONV, Layer.DCONV):
                 opts = (t_in.stride[0], t_in.stride[2])
+            elif kind == Layer.ATTN:
+                opts = (t_in.iparm,)
             elif kind in (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
                           Layer.LEAKYRL, Layer.ELU, Layer.DROPOUT):
                 opts = (float(t_in.xparm),)
@@ -257,6 +285,10 @@ class Model:
                 w = t_in.grad[0]
                 out.append((w.ensure_data().reshape(w.H(), w.W()),
                             t_in.grad[1].ensure_data()))
+            elif kind == Layer.ATTN:
+                w, wo = t_in.grad[0], t_in.grad[1]
+                out.append((w.ensure_data().reshape(w.H(), w.W()),
+                            wo.ensure_data().reshape(wo.H(), wo.W())))
             else:
                 out.append(())
         return tuple(out)
@@ -395,6 +427,10 @@ class Model:
                 w = t_in.grad[2]
                 dws.append(w.ensure_data().reshape(w.H(), w.W()))
                 dbs.append(t_in.grad[3].ensure_data())
+            elif kind == Layer.ATTN:
+                w, wo = t_in.grad[2], t_in.grad[3]
+                dws.append(w.ensure_data().reshape(w.H(), w.W()))
+                dbs.append(wo.ensure_data().reshape(wo.H(), wo.W()))
             elif kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM):
                 dws.append(t_in.grad[2].ensure_data())
                 dbs.append(t_in.grad[3].ensure_data())
@@ -412,7 +448,8 @@ class Model:
         for i in range(self.numel - 1):
             t_in = self[i]
             if t_in.grad_fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
-                                Layer.BATCHNM) and t_in.grad[0] is not None:
+                                Layer.BATCHNM, Layer.ATTN) \
+                    and t_in.grad[0] is not None:
                 out.append((t_in, 0))        # weight slot
                 out.append((t_in, 1))        # bias slot
         return out

@@ -4,12 +4,12 @@
 class Layer:
     (NONE, CONV, LINEAR, FLATTEN, RELU, TANH, SIGMOID, SELU, LEAKYRL,
      ELU, DROPOUT, SOFTMAX, LOGSMAX, AVGPOOL, MAXPOOL, MINPOOL,
-     BATCHNM, USAMPLE, DCONV) = range(19)
+     BATCHNM, USAMPLE, DCONV, ATTN) = range(20)
 
     NAMES = ["output ", "conv2d ", "linear ", "flatten", "relu   ",
              "tanh   ", "sigmoid", "selu   ", "leakyrl", "elu    ",
              "dropout", "softmax", "logsmax", "avgpool", "maxpool",
-             "minpool", "batchnm", "upsampl", "dconv2d"]
+             "minpool", "batchnm", "upsampl", "dconv2d", "attn   "]
 
 
 class Loss:

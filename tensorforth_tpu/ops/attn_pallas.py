@@ -1,0 +1,87 @@
+"""Flash-attention Pallas kernel (TPU).
+
+Online-softmax tiled attention: Q blocks stream over KV blocks with
+running max/denominator in VMEM scratch, so the S x S score matrix is
+never materialized in HBM.  Used by the ATTN layer (nn/funcs.py) for
+long sequences; short sequences use the fused XLA path.
+
+Extension beyond the reference (whose README roadmap names Transformers
+as the next tier, README.md:702-720).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
+                  *, bkv: int, scale: float):
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    q = q_ref[0]                                    # [bq, dh]
+    k = k_ref[0]                                    # [bkv, dh]
+    v = v_ref[0]                                    # [bkv, dh]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+
+    m_prev = m_sc[:, 0:1]                           # [bq, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                          # [bq, bkv]
+    l_new = alpha * l_sc[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_sc[:] = acc_sc[:] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+    m_sc[:, 0:1] = m_new
+    l_sc[:, 0:1] = l_new
+
+    @pl.when(kv_i == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[0] = acc_sc[:] / l_sc[:, 0:1]
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bkv"))
+def flash_attention(q, k, v, bq: int = 256, bkv: int = 256):
+    """q,k,v: [B, S, dh] (batch*heads flattened) -> [B, S, dh]"""
+    b, s, dh = q.shape
+    bq = min(bq, s)
+    bkv = min(bkv, s)
+    assert s % bq == 0 and s % bkv == 0, "seq not divisible by block"
+    scale = 1.0 / math.sqrt(dh)
+    grid = (b, s // bq, s // bkv)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, bkv=bkv, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda bi, qi, ki: (bi, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, dh), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),     # running max (col 0)
+            pltpu.VMEM((bq, 128), jnp.float32),     # running denom (col 0)
+            pltpu.VMEM((bq, dh), jnp.float32),      # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s * s * dh,
+            bytes_accessed=3 * b * s * dh * 4 + b * s * dh * 4,
+            transcendentals=b * s * s,
+        ),
+    )(q, k, v)

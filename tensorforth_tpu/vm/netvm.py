@@ -325,6 +325,16 @@ class NetVM(TensorVM):
         CODE("logsoftmax", lambda vm: vm._nnop(Layer.LOGSMAX))
         CODE("batchnorm", lambda vm: vm._nnop(Layer.BATCHNM))
         # --- pooling / dropout / upsample ----------------------------------------------
+        def _attn(vm):
+            """( M h -- M' ) multi-head self-attention layer over the
+            model's [N, S, E, 1] activations (extension word; the
+            reference's roadmap tier — see nn/funcs.py _mha_fwd)"""
+            if vm.M1V():
+                h = vm.POPi()
+                vm.MTOS().add(Layer.ATTN, h)
+            else:
+                vm.sys.perr("", "( M heads -- ) for nn.attn required! ")
+        CODE("nn.attn", _attn)
         CODE("maxpool",  lambda vm: vm._nnop(Layer.MAXPOOL))
         CODE("avgpool",  lambda vm: vm._nnop(Layer.AVGPOOL))
         CODE("minpool",  lambda vm: vm._nnop(Layer.MINPOOL))

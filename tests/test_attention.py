@@ -1,0 +1,87 @@
+"""Attention tier tests (extension: the reference roadmap's Transformer
+tier, realized TPU-first with nn.attn + a Pallas flash core)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tensorforth_tpu.nn import funcs
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _mha_ref(x, wqkv, wo, heads):
+    """torch oracle for _mha_fwd"""
+    n, s, e, _ = x.shape
+    dh = e // heads
+    tx = torch.tensor(x.reshape(n, s, e))
+    qkv = tx @ torch.tensor(wqkv).T
+    qkv = qkv.reshape(n, s, 3, heads, dh)
+    q, k, v = (qkv[:, :, i].transpose(1, 2) for i in range(3))
+    o = F.scaled_dot_product_attention(q, k, v)
+    o = o.transpose(1, 2).reshape(n, s, e)
+    return (o @ torch.tensor(wo).T).numpy().reshape(n, s, e, 1)
+
+
+def test_mha_matches_torch_sdpa():
+    rng = np.random.RandomState(0)
+    n, s, e, h = 2, 8, 16, 4
+    x = rng.randn(n, s, e, 1).astype(np.float32)
+    wqkv = (rng.randn(3 * e, e) * 0.1).astype(np.float32)
+    wo = (rng.randn(e, e) * 0.1).astype(np.float32)
+    ours = np.asarray(funcs._mha_fwd(jnp.asarray(x), jnp.asarray(wqkv),
+                                     jnp.asarray(wo), h, flash=False))
+    ref = _mha_ref(x, wqkv, wo, h)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_attn_word_and_model(t4):
+    out = t4.forth("""4 8 16 1 nn.model
+4 nn.attn tanh
+flatten 10 linear softmax
+network""")
+    assert "attn" in out and "heads=4" in out
+    assert "T4[4,8,16,1]" in out
+    t4.forth("4 8 16 1 tensor randn forward")
+    out = t4.forth("-1 n@ sum .")
+    assert "4 " in out                        # 4 softmax rows
+
+
+def test_attn_backprop_and_adam(t4):
+    t4.forth("""2 4 8 1 nn.model
+2 nn.attn
+flatten 2 linear softmax
+constant am""")
+    t4.forth("am 2 4 8 1 tensor randn forward")
+    t4.forth("4 vector{ 1 0 0 1 } 2 1 2 1 reshape4 backprop")
+    out = t4.forth("0 nn.dw sum abs 0 max .")     # gradient is nonzero
+    v = float(out.split()[0])
+    assert v != 0.0
+    t4.forth("0.001 nn.adam")
+    out = t4.forth("0 nn.dw sum .")
+    assert "0 " in out                            # zeroed after step
+
+
+def test_tiny_transformer_learns():
+    from tensorforth_tpu.models import tiny_transformer
+    from tensorforth_tpu.parallel.trainer import (make_train_step,
+                                                  init_opt_state)
+    m = tiny_transformer(batch=16, seq=8, dim=16, heads=4, classes=4,
+                         layers=1)
+    program = m._program()
+    params = m._params()
+    opt = init_opt_state(params)
+    step = make_train_step(program, loss="ce", lr=3e-3)
+    rng = np.random.RandomState(1)
+    protos = rng.randn(4, 8, 16, 1).astype(np.float32)
+    lbl = rng.randint(0, 4, 16)
+    x = jnp.asarray(protos[lbl] + rng.randn(16, 8, 16, 1) * 0.05,
+                    jnp.float32)
+    y = jax.nn.one_hot(jnp.asarray(lbl), 4).reshape(16, 1, 4, 1)
+    losses = []
+    for i in range(25):
+        params, opt, l = step(params, opt, x, y, jax.random.PRNGKey(i))
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.5, f"no learning: {losses[::6]}"
