@@ -42,6 +42,24 @@ def _stage_batches(ds, model, max_batches: int | None = None):
     return x, y, n_batches
 
 
+def _mesh_from_env():
+    """T4_MESH=dp4,tp2 -> (dp, tp) mesh over available devices"""
+    import os
+    spec = os.environ.get("T4_MESH")
+    if not spec:
+        return None
+    from ..parallel.mesh import make_mesh
+    dp = tp = None
+    for part in spec.split(","):
+        part = part.strip()
+        if part.startswith("dp"):
+            dp = int(part[2:])
+        elif part.startswith("tp"):
+            tp = int(part[2:])
+    n = (dp or 1) * (tp or 1)
+    return make_mesh(n, dp=dp, tp=tp)
+
+
 def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
                  trace: int = 0) -> float:
     program = model._program()
@@ -49,6 +67,23 @@ def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
     opt = init_opt_state(params)
     step = make_train_step(program, loss="ce", lr=lr, jit=False)
     x, y, n_batches = _stage_batches(ds, model)
+
+    mesh = _mesh_from_env()
+    if mesh is not None:                      # SPMD: dp batches, tp features
+        from ..parallel.mesh import shard_params, shard_batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        psh = shard_params(mesh, program)
+        params = tuple(
+            tuple(jax.device_put(w, s) for w, s in zip(pl_, sl))
+            for pl_, sl in zip(params, psh))
+        opt = init_opt_state(params)
+        bsh = NamedSharding(mesh, P(None, "dp"))   # [n_batches, batch, ...]
+        x = jax.device_put(x, bsh)
+        y = jax.device_put(y, bsh)
+        if trace:
+            from ..system import System
+            System.get_sys().pstr(
+                f"\\   nn.train mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}\n")
 
     @jax.jit
     def epoch(params, opt_state, key):

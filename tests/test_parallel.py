@@ -88,3 +88,19 @@ def test_remat_train_step_matches():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(p1[0][0]), np.asarray(p2[0][0]),
                                rtol=1e-5, atol=1e-7)
+
+
+@needs_mesh
+def test_nn_train_on_mesh(t4, monkeypatch):
+    """T4_MESH routes the fused-epoch word through SPMD shardings"""
+    monkeypatch.setenv("T4_MAX_BATCH", "4")
+    monkeypatch.setenv("T4_MESH", "dp4,tp2")
+    t4.forth("""0 trace
+16 28 28 1 nn.model
+flatten 32 linear relu 10 linear softmax
+constant mm2
+mm2 batchsize dataset mnist_train constant dm2
+mm2 dm2 0.005 3 nn.train""")
+    out = t4.forth("dm2 rewind\nmm2 dm2 forward nn.hit .")
+    last = [l for l in out.strip().split("\n") if l][-1]
+    assert int(float(last.split()[0])) >= 10
