@@ -43,6 +43,42 @@ def shard_batch(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
+def make_mesh3(n_devices: int | None = None, dp: int = 2, sp: int = 2,
+               tp: int = 2) -> Mesh:
+    """3-axis mesh for sequence models: data / sequence / tensor parallel"""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert dp * sp * tp == n, f"mesh {dp}x{sp}x{tp} != {n} devices"
+    grid = np.array(devs[:n]).reshape(dp, sp, tp)
+    return Mesh(grid, ("dp", "sp", "tp"))
+
+
+def shard_seq_batch(mesh: Mesh) -> NamedSharding:
+    """sequence activations [N, S, E, 1]: batch over 'dp', seq over 'sp'
+    (attention contracts over S — XLA inserts the all-gather/psum over
+    the 'sp' ring, the ICI-resident analog of ring attention)"""
+    return NamedSharding(mesh, P("dp", "sp"))
+
+
+def shard_params_seq(mesh: Mesh, program) -> tuple:
+    """attention/linear weights row-sharded over 'tp', rest replicated"""
+    out = []
+    for kind, _opts, _shape in program:
+        if kind in (Layer.LINEAR, Layer.ATTN):
+            out.append((NamedSharding(mesh, P("tp", None)),
+                        NamedSharding(mesh, P("tp", None))
+                        if kind == Layer.ATTN
+                        else NamedSharding(mesh, P("tp"))))
+        elif kind in (Layer.CONV, Layer.DCONV):
+            out.append((NamedSharding(mesh, P(None, None, None, "tp")),
+                        NamedSharding(mesh, P("tp"))))
+        elif kind == Layer.BATCHNM:
+            out.append((NamedSharding(mesh, P()), NamedSharding(mesh, P())))
+        else:
+            out.append(())
+    return tuple(out)
+
+
 def _param_spec(kind: int, arr_ndim: int, which: str) -> P:
     """weight shardings: linear W[E0,E1] row-sharded over 'tp' (output
     features), conv filters [C1,K,K,C0] sharded on C0; biases sharded on

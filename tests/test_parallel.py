@@ -104,3 +104,28 @@ mm2 dm2 0.005 3 nn.train""")
     out = t4.forth("dm2 rewind\nmm2 dm2 forward nn.hit .")
     last = [l for l in out.strip().split("\n") if l][-1]
     assert int(float(last.split()[0])) >= 10
+
+
+@needs_mesh
+def test_seq_parallel_transformer_matches():
+    """dp/sp/tp-sharded transformer forward == replicated forward"""
+    from tensorforth_tpu.models import tiny_transformer
+    from tensorforth_tpu.parallel.mesh import (make_mesh3, shard_seq_batch,
+                                               shard_params_seq)
+    from tensorforth_tpu.parallel.trainer import _forward_pure
+    m = tiny_transformer(batch=4, seq=8, dim=16, heads=4, classes=4,
+                         layers=1)
+    program = m._program()
+    params = m._params()
+    x = jnp.asarray(np.random.RandomState(5).rand(4, 8, 16, 1), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    ref = _forward_pure(program, x, params, key)
+
+    mesh = make_mesh3(8, dp=2, sp=2, tp=2)
+    psh = shard_params_seq(mesh, program)
+    sp = tuple(tuple(jax.device_put(w, s) for w, s in zip(pl, sl))
+               for pl, sl in zip(params, psh))
+    xs = jax.device_put(x, shard_seq_batch(mesh))
+    out = jax.jit(lambda x_, p_: _forward_pure(program, x_, p_, key))(xs, sp)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=2e-5, atol=2e-6)
