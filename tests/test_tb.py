@@ -152,3 +152,27 @@ def test_flatbuffer_builder():
     import struct
     root_rel = struct.unpack_from("<I", data, 0)[0]
     assert 0 < root_rel < len(data)
+
+
+def test_tb2gif(t4, tmp_path):
+    from tensorforth_tpu.tb.summary import Summary
+    s = Summary(str(tmp_path), "gif")
+    t = t4.sys.mu.tensor(4, 8, 8, 1)
+    import numpy as np
+    for i in range(3):
+        s.set_step(i)
+        t.set_numpy(np.random.RandomState(i).rand(4, 8, 8, 1)
+                    .astype("f4"))
+        s.tile("gen/image", t, 2)
+    s.close()
+    import subprocess, sys, os
+    out = str(tmp_path / "x.gif")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts",
+                      "tb2gif.py"),
+         str(tmp_path / "gif"), "gen/image", out],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "3 frames" in r.stdout
+    assert open(out, "rb").read(6) in (b"GIF87a", b"GIF89a")
