@@ -68,3 +68,35 @@ def test_pipeline_gradients_match():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 (virtual) devices")
+
+
+@needs8
+def test_expert_parallel_matches_replicated():
+    """ep-sharded MoE forward + grads == replicated"""
+    from tensorforth_tpu.parallel.moe import (moe_fwd, make_ep_mesh,
+                                              shard_experts)
+    rng = np.random.RandomState(7)
+    n, t, d, f, e = 4, 6, 8, 16, 8
+    x = jnp.asarray(rng.randn(n, t, d), jnp.float32)
+    wr = jnp.asarray(rng.randn(e, d) * 0.3, jnp.float32)
+    w1 = jnp.asarray(rng.randn(e, d, f) * 0.3, jnp.float32)
+    w2 = jnp.asarray(rng.randn(e, f, d) * 0.3, jnp.float32)
+
+    def loss(wr_, w1_, w2_):
+        return jnp.sum(moe_fwd(x, wr_, w1_, w2_) ** 2)
+
+    ref_y = moe_fwd(x, wr, w1, w2)
+    ref_g = jax.grad(loss, argnums=(1,))(wr, w1, w2)[0]
+
+    mesh = make_ep_mesh(8)
+    swr, sw1, sw2 = shard_experts(mesh, wr, w1, w2)
+    got_y = jax.jit(moe_fwd, static_argnames=("top_k",))(x, swr, sw1, sw2)
+    got_g = jax.jit(jax.grad(loss, argnums=(1,)))(swr, sw1, sw2)[0]
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=5e-4, atol=5e-5)
