@@ -171,7 +171,8 @@ class AIO:
             nm = ["nearest", "linear", "bilinear", "cubic"]
             return f"{S}x{S} {nm[t_in.iparm]}"
         if fn == Layer.ATTN:
-            return f"heads={t_in.iparm}"
+            c = ", causal" if float(t_in.xparm) > 0.5 else ""
+            return f"heads={t_in.iparm}{c}"
         return ""
 
     # =====================================================================

@@ -142,7 +142,8 @@ def _upsample_fwd(x, k):
     return jnp.repeat(jnp.repeat(x, k, axis=1), k, axis=2)
 
 
-def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True):
+def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True,
+             causal: bool = False):
     """multi-head self-attention layer: x [N, S, E, 1], wqkv [3E, E],
     wo [E, E] -> [N, S, E, 1].  Long aligned sequences route the core
     through the Pallas flash kernel; short ones (and the backward
@@ -159,8 +160,8 @@ def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True):
     q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))   # [N, h, S, dh]
     k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
     v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
-    if (flash and s >= 512 and s % 256 == 0 and dh % 128 == 0
-            and jax.default_backend() == "tpu"):
+    if (flash and not causal and s >= 512 and s % 256 == 0
+            and dh % 128 == 0 and jax.default_backend() == "tpu"):
         from ..ops.attn_pallas import flash_attention
         o = flash_attention(q.reshape(n * heads, s, dh),
                             k.reshape(n * heads, s, dh),
@@ -170,6 +171,10 @@ def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True):
         scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(dh))
+        if causal:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            scores = jnp.where(ki <= qi, scores, -1.0e30)
         w = jax.nn.softmax(scores, axis=-1)
         o = jnp.einsum("nhqk,nhkd->nhqd", w, v,
                        preferred_element_type=jnp.float32)
@@ -178,20 +183,22 @@ def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True):
     return out.reshape(n, s, e, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def attn_op(x, wqkv, wo, heads: int):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def attn_op(x, wqkv, wo, heads: int, causal: bool = False):
     """differentiable MHA: flash forward, XLA-recompute backward"""
-    return _mha_fwd(x, wqkv, wo, heads, flash=True)
+    return _mha_fwd(x, wqkv, wo, heads, flash=True, causal=causal)
 
 
-def _attn_op_fwd(x, wqkv, wo, heads):
-    return _mha_fwd(x, wqkv, wo, heads, flash=True), (x, wqkv, wo)
+def _attn_op_fwd(x, wqkv, wo, heads, causal):
+    return (_mha_fwd(x, wqkv, wo, heads, flash=True, causal=causal),
+            (x, wqkv, wo))
 
 
-def _attn_op_bwd(heads, res, g):
+def _attn_op_bwd(heads, causal, res, g):
     x, wqkv, wo = res
     _, vjp = jax.vjp(
-        lambda x_, w1, w2: _mha_fwd(x_, w1, w2, heads, flash=False),
+        lambda x_, w1, w2: _mha_fwd(x_, w1, w2, heads, flash=False,
+                                    causal=causal),
         x, wqkv, wo)
     return vjp(g)
 
@@ -239,7 +246,8 @@ def _apply_layer(spec, x, p, key):
     if kind == Layer.USAMPLE:
         return _upsample_fwd(x, opts[0]), None
     if kind == Layer.ATTN:
-        return attn_op(x, p[0], p[1], opts[0]), None
+        return attn_op(x, p[0], p[1], opts[0],
+                       bool(opts[1]) if len(opts) > 1 else False), None
     raise ValueError(f"layer kind {kind}")
 
 
@@ -327,8 +335,9 @@ def get_backward(program, in_shape, train: bool):
                 dx, = vjp(dy.reshape(out_shape))
             elif kind == Layer.ATTN:
                 _, vjp = jax.vjp(
-                    lambda x_, w1, w2: _mha_fwd(x_, w1, w2, opts[0],
-                                                flash=False),
+                    lambda x_, w1, w2: _mha_fwd(
+                        x_, w1, w2, opts[0], flash=False,
+                        causal=bool(opts[1]) if len(opts) > 1 else False),
                     x_in, params[j][0], params[j][1])
                 dx, dw, dwo = vjp(dy.reshape(out_shape))
                 if train:

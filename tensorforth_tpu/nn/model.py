@@ -122,7 +122,7 @@ class Model:
         elif fn == Layer.USAMPLE:
             self._iup(t_in, int(n), bias)
         elif fn == Layer.ATTN:
-            self._iattn(t_in, int(n))
+            self._iattn(t_in, int(n), bias > 0.5)
         else:
             self._err(f"Model#add layer {fn} not supported")
             return self
@@ -218,7 +218,7 @@ class Model:
         t_in.xparm = m
         self.npush(self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C()))
 
-    def _iattn(self, t_in: Tensor, heads: int):
+    def _iattn(self, t_in: Tensor, heads: int, causal: bool = False):
         """multi-head self-attention layer (extension): input [N,S,E,1];
         wqkv [1,3E,E,1] in the weight slot, wo [1,E,E,1] in the bias slot
         (the optimizer treats slot pairs generically)"""
@@ -233,6 +233,7 @@ class Model:
         t_in.grad[2] = self._T4(1, 3 * E, E, 1)
         t_in.grad[3] = self._T4(1, E, E, 1)
         t_in.iparm = heads
+        t_in.xparm = 1.0 if causal else 0.0
         k = math.sqrt(1.0 / (2 * E))
         if Config.MM_DEBUG:
             wqkv.set_numpy(np.full(wqkv.numel, 0.5, np.float32))
@@ -261,7 +262,7 @@ class Model:
             if kind in (Layer.CONV, Layer.DCONV):
                 opts = (t_in.stride[0], t_in.stride[2])
             elif kind == Layer.ATTN:
-                opts = (t_in.iparm,)
+                opts = (t_in.iparm, float(t_in.xparm) > 0.5)
             elif kind in (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
                           Layer.LEAKYRL, Layer.ELU, Layer.DROPOUT):
                 opts = (float(t_in.xparm),)

@@ -326,14 +326,19 @@ class NetVM(TensorVM):
         CODE("batchnorm", lambda vm: vm._nnop(Layer.BATCHNM))
         # --- pooling / dropout / upsample ----------------------------------------------
         def _attn(vm):
-            """( M h -- M' ) multi-head self-attention layer over the
-            model's [N, S, E, 1] activations (extension word; the
-            reference's roadmap tier — see nn/funcs.py _mha_fwd)"""
-            if vm.M1V():
+            """( M [causal] h -- M' ) multi-head self-attention layer over
+            the model's [N, S, E, 1] activations; optional causal flag
+            masks future positions (extension word; the reference's
+            roadmap tier — see nn/funcs.py _mha_fwd)"""
+            if vm.M2V():
+                h = vm.POPi()
+                causal = 1.0 if vm.POPi() else 0.0
+                vm.MTOS().add(Layer.ATTN, h, causal)
+            elif vm.M1V():
                 h = vm.POPi()
                 vm.MTOS().add(Layer.ATTN, h)
             else:
-                vm.sys.perr("", "( M heads -- ) for nn.attn required! ")
+                vm.sys.perr("", "( M [causal] heads -- ) for nn.attn! ")
         CODE("nn.attn", _attn)
         CODE("maxpool",  lambda vm: vm._nnop(Layer.MAXPOOL))
         CODE("avgpool",  lambda vm: vm._nnop(Layer.AVGPOOL))

@@ -85,3 +85,32 @@ def test_tiny_transformer_learns():
         params, opt, l = step(params, opt, x, y, jax.random.PRNGKey(i))
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.5, f"no learning: {losses[::6]}"
+
+
+def test_causal_attention_matches_torch():
+    rng = np.random.RandomState(9)
+    n, s, e, h = 2, 8, 16, 4
+    x = rng.randn(n, s, e, 1).astype(np.float32)
+    wqkv = (rng.randn(3 * e, e) * 0.1).astype(np.float32)
+    wo = (rng.randn(e, e) * 0.1).astype(np.float32)
+    ours = np.asarray(funcs._mha_fwd(jnp.asarray(x), jnp.asarray(wqkv),
+                                     jnp.asarray(wo), h, flash=False,
+                                     causal=True))
+    dh = e // h
+    tx = torch.tensor(x.reshape(n, s, e))
+    qkv = (tx @ torch.tensor(wqkv).T).reshape(n, s, 3, h, dh)
+    q, k, v = (qkv[:, :, i].transpose(1, 2) for i in range(3))
+    o = F.scaled_dot_product_attention(q, k, v, is_causal=True)
+    ref = ((o.transpose(1, 2).reshape(n, s, e)) @ torch.tensor(wo).T
+           ).numpy().reshape(n, s, e, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_causal_word(t4):
+    out = t4.forth("""4 8 16 1 nn.model
+1 4 nn.attn
+network""")
+    assert "causal" in out
+    t4.forth("4 8 16 1 tensor randn forward")
+    out = t4.forth("-1 n@ sum abs 0 max .")
+    assert "-> ok" in out
