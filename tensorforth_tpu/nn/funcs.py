@@ -269,6 +269,25 @@ def get_forward(program):
     return jax.jit(fwd)
 
 
+@lru_cache(maxsize=256)
+def get_forward_with_metrics(program):
+    """dataset-input forward fused with onehot + hit (reference
+    forward.cu:71-75 collects both after the pass; fusing them into the
+    same executable drops two host->device dispatches per batch)"""
+    base = get_forward(program)
+
+    def fwd(x, params, key, labels):
+        outs, masks = base(x, params, key)
+        out = outs[-1]
+        n = out.shape[0]
+        classes = out.size // n
+        hot = onehot_fn(labels, classes).reshape(n, 1, classes, 1)
+        hit = hit_fn(out, hot)
+        return outs, masks, hot, hit
+
+    return jax.jit(fwd)
+
+
 # ===========================================================================
 # whole-network backward
 # ===========================================================================

@@ -308,9 +308,16 @@ class Model:
             return self
         n0.replace_data(inp.ensure_data().reshape(n0.shape))
         prog = self._program()
-        fwd = funcs.get_forward(prog)
         key = jax.random.PRNGKey(sys.next_key())
-        outs, masks = fwd(n0.ensure_data(), self._params(), key)
+        hot = hit = None
+        if inp.is_dataset():
+            fwd = funcs.get_forward_with_metrics(prog)
+            labels = jnp.asarray(inp.label[:n0.N()], dtype=jnp.int32)
+            outs, masks, hot, hit = fwd(n0.ensure_data(), self._params(),
+                                        key, labels)
+        else:
+            fwd = funcs.get_forward(prog)
+            outs, masks = fwd(n0.ensure_data(), self._params(), key)
         for i, (o, m) in enumerate(zip(outs, masks)):
             self[i + 1].replace_data(o)
             t_in = self[i]
@@ -328,8 +335,11 @@ class Model:
                                           if m.size == t_in.grad[4].numel
                                           else m)
         if inp.is_dataset():
-            self.onehot_from_dataset(inp)
-            self._hit = self.hit(True)
+            if self._hot is None:
+                out = self[-1]
+                self._hot = self._T4(out.N(), 1, out.HWC(), 1)
+            self._hot.replace_data(hot)
+            self._hit = hit                   # device scalar, lazy sync
         if sys.trace:
             self._trace_pass("forward", range(self.numel - 1))
         return self
