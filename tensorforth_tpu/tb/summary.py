@@ -101,7 +101,26 @@ class Summary:
             self._proj = Projector(self.path)
         self._proj.add_embedding(tag, t.numpy().reshape(t.N(), -1))
 
+    def hparam(self, name: str, value):
+        """record a hyperparameter for the HParams dashboard (the
+        reference ships tb/hparam.h unwired; here `.hparam` drives it)"""
+        if not hasattr(self, "_hparams"):
+            self._hparams = {}
+        self._hparams[name] = value
+
+    def _flush_hparams(self):
+        hp = getattr(self, "_hparams", None)
+        if not hp or self._w is None:
+            return
+        from .hparam import HParamWriter
+        w = HParamWriter(self._w)
+        w.experiment(list(hp.keys()), [])
+        w.session_start(hp)
+        w.session_end()
+        self._hparams = {}
+
     def close(self):
         if self._w:
+            self._flush_hparams()
             self._w.close()
             self._w = None

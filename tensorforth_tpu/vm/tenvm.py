@@ -567,6 +567,13 @@ class TensorVM(ForthVM):
             CODE(".tile",   lambda vm: vm._tboard("tile"))
             CODE(".histo",  lambda vm: vm._tboard("histo"))
             CODE(".embed",  lambda vm: vm._tboard("embed"))
+            def _hparam(vm):                 # ( v tag len -- )
+                vm.POPi()
+                tag = vm.pmem.rd_str(vm.POPi())
+                v = float(vm.POP())
+                if vm.sys.tb:
+                    vm.sys.tb.hparam(tag, v)
+            CODE(".hparam", _hparam)
             def _tbgraph(vm):
                 v = vm.POP()
                 if vm.sys.tb:

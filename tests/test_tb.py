@@ -176,3 +176,17 @@ def test_tb2gif(t4, tmp_path):
     assert r.returncode == 0, r.stderr
     assert "3 frames" in r.stdout
     assert open(out, "rb").read(6) in (b"GIF87a", b"GIF89a")
+
+
+def test_hparam_word(t4, tmp_path):
+    from tensorforth_tpu.tb.summary import Summary
+    t4.sys.tb = Summary(str(tmp_path), "hp2")
+    t4.forth('0.5 s" train/x" .scalar')      # open the writer
+    t4.forth('0.001 s" lr" .hparam')
+    t4.forth('100 s" batch" .hparam')
+    t4.sys.tb.close()
+    import os
+    f = [n for n in os.listdir(tmp_path / "hp2") if "tfevents" in n][0]
+    data = open(tmp_path / "hp2" / f, "rb").read()
+    assert b"_hparams_/session_start_info" in data
+    assert b"lr" in data and b"batch" in data
