@@ -251,22 +251,24 @@ def _apply_layer(spec, x, p, key):
     raise ValueError(f"layer kind {kind}")
 
 
+def forward_pure(program, x, params, key):
+    """un-jitted whole-network forward — composable into larger programs
+    (nn.train's scanned epoch); get_forward is its jitted wrapper"""
+    outs, masks = [], []
+    for j, spec in enumerate(program):
+        kj = jax.random.fold_in(key, j)
+        x, m = _apply_layer(spec, x, params[j], kj)
+        x = x.reshape(spec[2])
+        outs.append(x)
+        masks.append(m)
+    return tuple(outs), tuple(masks)
+
+
 @lru_cache(maxsize=256)
 def get_forward(program):
     """program: tuple of (kind, opts, out_shape) — returns jitted
     f(x, params, key) -> (outs, masks)"""
-
-    def fwd(x, params, key):
-        outs, masks = [], []
-        for j, spec in enumerate(program):
-            kj = jax.random.fold_in(key, j)
-            x, m = _apply_layer(spec, x, params[j], kj)
-            x = x.reshape(spec[2])
-            outs.append(x)
-            masks.append(m)
-        return tuple(outs), tuple(masks)
-
-    return jax.jit(fwd)
+    return jax.jit(partial(forward_pure, program))
 
 
 @lru_cache(maxsize=256)
@@ -296,12 +298,26 @@ _MASKED = (Layer.RELU, Layer.TANH, Layer.SELU, Layer.LEAKYRL,
            Layer.ELU, Layer.DROPOUT)
 
 
+def backward_pure(program, train, tgt, x0, outs, params, masks, dws, dbs):
+    """un-jitted whole-network backward with the reference quirks
+    (pass-through sigmoid/softmax/final-linear, masked activations);
+    composable into larger programs — get_backward is its jitted wrapper"""
+    return _bwd_body(program, train, tgt, x0, outs, params, masks, dws, dbs)
+
+
 @lru_cache(maxsize=256)
 def get_backward(program, in_shape, train: bool):
     """returns jitted b(tgt, x0, outs, params, masks, dws, dbs)
     -> (dout, dxs, dws', dbs')"""
 
     def bwd(tgt, x0, outs, params, masks, dws, dbs):
+        return _bwd_body(program, train, tgt, x0, outs, params, masks,
+                         dws, dbs)
+
+    return jax.jit(bwd)
+
+
+def _bwd_body(program, train, tgt, x0, outs, params, masks, dws, dbs):
         L = len(program)
         dxs = [None] * L
         ndws, ndbs = list(dws), list(dbs)
@@ -378,8 +394,6 @@ def get_backward(program, in_shape, train: bool):
             dxs[j] = dx
             dy = dx
         return dout, tuple(dxs), tuple(ndws), tuple(ndbs)
-
-    return jax.jit(bwd)
 
 
 # ===========================================================================

@@ -2,11 +2,20 @@
 ``nn.train`` extension word.
 
 Stages the whole corpus on device once, builds [n_batches, batch, ...]
-views, and runs each epoch as ONE lax.scan-jitted XLA program
-(forward -> CE -> grads -> Adam per batch inside the scan).  Trained
-parameters are written back into the interpreter's Model object, so
+views, and runs each epoch as ONE lax.scan-jitted XLA program.  Each
+scanned batch step is the *word path* verbatim: ``forward_pure`` (same
+layer kernels), ``backward_pure`` (same reference quirks — pass-through
+sigmoid/softmax/final-linear, out-tgt dLoss prep), and the reference's
+uncorrected Adam (funcs.get_adam semantics: no bias correction, no
+batch division, eps 1e-6 — gradient.cu:144-157 / nmath.cu:439-455).
+Trained parameters are written back into the interpreter's Model object
+for EVERY parameterized layer ``_params()`` emits (table-driven), so
 ``nn.w`` / ``forward`` / ``save`` observe the result exactly as if the
-word-at-a-time loop had run.
+word-at-a-time ``forward backprop nn.adam`` loop had run.
+
+The only divergence from the literal word loop is the dropout RNG
+stream (word path draws sys.next_key() per forward; here keys derive
+from the epoch counter) — see docs/ARCHITECTURE.md §Deviations.
 """
 from __future__ import annotations
 
@@ -14,8 +23,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import funcs
 from .ntypes import Layer
-from ..parallel.trainer import make_train_step, init_opt_state
+
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1.0e-6            # reference k_adam epsilon (nmath.cu:439-455)
 
 
 def _stage_batches(ds, model, max_batches: int | None = None):
@@ -60,23 +73,92 @@ def _mesh_from_env():
     return make_mesh(n, dp=dp, tp=tp)
 
 
+_Z1 = None
+
+
+def _zero_grad_slots(params):
+    """per-layer (dws, dbs) zero accumulators in backward_pure's layout"""
+    global _Z1
+    if _Z1 is None:
+        _Z1 = jnp.zeros((1,), jnp.float32)
+    dws = tuple(jnp.zeros_like(pl[0]) if pl else _Z1 for pl in params)
+    dbs = tuple(jnp.zeros_like(pl[1]) if pl else _Z1 for pl in params)
+    return dws, dbs
+
+
+def make_ref_batch_step(program, lr: float, b1: float = ADAM_B1,
+                        b2: float = ADAM_B2):
+    """one word-path-equivalent batch step:
+    (params, m, v, x, hot, key) -> (params', m', v', loss)"""
+    lr = jnp.float32(lr)
+    b1 = jnp.float32(b1)
+    b2 = jnp.float32(b2)
+
+    def step(params, opt_m, opt_v, x, hot, key):
+        outs, masks = funcs.forward_pure(program, x, params, key)
+        out = outs[-1]
+        n = out.shape[0]
+        loss = -jnp.sum(hot.reshape(-1)
+                        * jnp.log(jnp.maximum(out.reshape(-1),
+                                              funcs.LN_CLAMP))) / n
+        dws0, dbs0 = _zero_grad_slots(params)
+        _, _, dws, dbs = funcs.backward_pure(
+            program, True, hot, x, outs, params, masks, dws0, dbs0)
+        new_p, new_m, new_v = [], [], []
+        for j, pl in enumerate(params):
+            if not pl:
+                new_p.append(())
+                new_m.append(())
+                new_v.append(())
+                continue
+            npl, nml, nvl = [], [], []
+            for w, g, m, v in zip(pl, (dws[j], dbs[j]),
+                                  opt_m[j], opt_v[j]):
+                g = g.reshape(w.shape)
+                m = b1 * m + (1.0 - b1) * g
+                v = b2 * v + (1.0 - b2) * g * g
+                w = w - lr * m / (jnp.sqrt(v) + ADAM_EPS)
+                npl.append(w)
+                nml.append(m)
+                nvl.append(v)
+            new_p.append(tuple(npl))
+            new_m.append(tuple(nml))
+            new_v.append(tuple(nvl))
+        return tuple(new_p), tuple(new_m), tuple(new_v), loss
+
+    return step
+
+
+def write_back(model, params):
+    """copy trained params into the interpreter's model — table-driven
+    over whatever _params() emitted (fixes the round-1 ATTN data loss)"""
+    for j in range(model.numel - 1):
+        t_in = model[j]
+        for k, w in enumerate(params[j]):
+            g = t_in.grad[k]
+            g.replace_data(np.asarray(jax.device_get(w),
+                                      np.float32).reshape(g.shape))
+
+
 def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
                  trace: int = 0) -> float:
     program = model._program()
     params = model._params()
-    opt = init_opt_state(params)
-    step = make_train_step(program, loss="ce", lr=lr, jit=False)
+    opt_m = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
+    opt_v = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
+    step = make_ref_batch_step(program, lr)
     x, y, n_batches = _stage_batches(ds, model)
 
     mesh = _mesh_from_env()
     if mesh is not None:                      # SPMD: dp batches, tp features
-        from ..parallel.mesh import shard_params, shard_batch
+        from ..parallel.mesh import shard_params
         from jax.sharding import NamedSharding, PartitionSpec as P
         psh = shard_params(mesh, program)
         params = tuple(
             tuple(jax.device_put(w, s) for w, s in zip(pl_, sl))
             for pl_, sl in zip(params, psh))
-        opt = init_opt_state(params)
+        opt_m = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
+        opt_v = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
         bsh = NamedSharding(mesh, P(None, "dp"))   # [n_batches, batch, ...]
         x = jax.device_put(x, bsh)
         y = jax.device_put(y, bsh)
@@ -86,32 +168,27 @@ def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
                 f"\\   nn.train mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}\n")
 
     @jax.jit
-    def epoch(params, opt_state, key):
+    def epoch(params, opt_m, opt_v, key):
         def body(carry, xy):
-            p, o = carry
-            p, o, l = step(p, o, xy[0], xy[1], key)
-            return (p, o), l
-        (p, o), ls = jax.lax.scan(body, (params, opt_state), (x, y))
-        return p, o, ls.mean()
+            p, m, v = carry
+            p, m, v, l = step(p, m, v, xy[0], xy[1], key)
+            return (p, m, v), l
+        (p, m, v), ls = jax.lax.scan(body, (params, opt_m, opt_v), (x, y))
+        return p, m, v, ls.mean()
 
     loss = 0.0
     from ..system import System
     sys = System.get_sys()
     for e in range(epochs):
-        params, opt, lv = epoch(params, opt, jax.random.PRNGKey(e))
+        params, opt_m, opt_v, lv = epoch(params, opt_m, opt_v,
+                                         jax.random.PRNGKey(e))
         if trace:
             loss = float(lv)
             sys.pstr(f"\\   epoch {e}: {n_batches} batches, "
                      f"loss={loss:.6g}\n")
     loss = float(lv)
     model.tick()
+    model._iter += n_batches * epochs
 
-    # write trained parameters back into the interpreter's model
-    for j in range(model.numel - 1):
-        t_in = model[j]
-        if t_in.grad_fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
-                            Layer.BATCHNM):
-            w, b = params[j]
-            t_in.grad[0].replace_data(w.reshape(t_in.grad[0].shape))
-            t_in.grad[1].replace_data(b.reshape(t_in.grad[1].shape))
+    write_back(model, params)
     return loss

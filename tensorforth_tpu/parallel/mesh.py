@@ -97,6 +97,11 @@ def shard_params(mesh: Mesh, program) -> tuple:
         if kind in (Layer.CONV, Layer.DCONV, Layer.LINEAR):
             out.append((NamedSharding(mesh, _param_spec(kind, 2, "w")),
                         NamedSharding(mesh, _param_spec(kind, 1, "b"))))
+        elif kind == Layer.ATTN:
+            # wqkv [3E, E] row-sharded (heads split over 'tp'),
+            # wo [E, E] column-sharded (contracts the head outputs)
+            out.append((NamedSharding(mesh, P("tp", None)),
+                        NamedSharding(mesh, P(None, "tp"))))
         elif kind == Layer.BATCHNM:
             out.append((NamedSharding(mesh, P()), NamedSharding(mesh, P())))
         else:

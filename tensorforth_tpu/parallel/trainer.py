@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..nn import funcs
-from ..nn.ntypes import Layer
 from .mesh import make_mesh, shard_batch, shard_params
 
 
@@ -48,7 +47,14 @@ def make_train_step(program, loss: str = "ce", lr: float = 1e-3,
     -> (params', opt_state', loss); pass jit=False to compose the raw
     step into a larger program (e.g. a lax.scan epoch); remat=True
     rematerializes the forward pass in backward (trade FLOPs for HBM —
-    use for activation-bound deep nets)"""
+    use for activation-bound deep nets).
+
+    NOTE: this is the *generic scaling* trainer — true autodiff grads of
+    the mean loss and textbook bias-corrected Adam (eps 1e-8).  It does
+    NOT reproduce the reference's word-path update (pass-through quirks,
+    uncorrected Adam, eps 1e-6); the ``nn.train`` word uses
+    nn/train.py's make_ref_batch_step for that (see
+    docs/ARCHITECTURE.md §Deviations, tests/test_train_equiv.py)."""
     loss_fn = _loss_pure
     if remat:
         loss_fn = jax.checkpoint(_loss_pure, static_argnums=(0, 5))
@@ -109,13 +115,8 @@ class ShardedTrainer:
         return float(lval)
 
     def write_back(self, model):
-        """copy trained params back into the interpreter's model object"""
-        for j in range(model.numel - 1):
-            t_in = model[j]
-            if t_in.grad_fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
-                                Layer.BATCHNM):
-                w, b = self.params[j]
-                t_in.grad[0].replace_data(
-                    jax.device_get(w).reshape(t_in.grad[0].shape))
-                t_in.grad[1].replace_data(
-                    jax.device_get(b).reshape(t_in.grad[1].shape))
+        """copy trained params back into the interpreter's model object —
+        table-driven over every parameterized layer _params() emits
+        (CONV/DCONV/LINEAR/BATCHNM/ATTN alike)"""
+        from ..nn.train import write_back
+        write_back(model, self.params)
