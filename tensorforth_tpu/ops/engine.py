@@ -158,13 +158,20 @@ def _gemm_xla(a, b, c, alpha, beta, ta, tb):
 
 def gemm(a, b, c, alpha=1.0, beta=0.0, ta=False, tb=False, variant=0):
     """alpha*A@B + beta*C; variants 0..4 map to XLA + Pallas kernels
-    (reference gemm..gemm4 A/B-comparison words, tenvm.cpp:585-589)"""
+    (reference gemm..gemm4 A/B-comparison words, tenvm.cpp:585-589).
+    A Pallas variant that cannot run NEVER falls back silently — the
+    A/B words must benchmark what they claim — the failure is surfaced
+    and the XLA result is returned only after the warning."""
     if variant >= 2:
         from .gemm_pallas import gemm_pallas
         try:
             return gemm_pallas(a, b, c, alpha, beta, ta, tb, variant)
-        except Exception:
-            pass                                # fall back to XLA path
+        except Exception as e:                   # noqa: BLE001
+            from ..system import System
+            System.get_sys().pstr(
+                f"\\ WARN gemm{variant} pallas kernel unavailable "
+                f"({type(e).__name__}: {str(e).splitlines()[0][:80]}) "
+                f"— result computed by XLA dot instead\n")
     return _gemm_xla(a, b, c, jnp.float32(alpha), jnp.float32(beta), ta, tb)
 
 

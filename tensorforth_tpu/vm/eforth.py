@@ -672,6 +672,11 @@ class ForthVM(VM):
             vm.state = VMState.STOP
         CODE("bye", _bye)
         CODE("boot", lambda vm: vm.dict.clear(vm.dict.find("boot") + 1))
+        # no-op stubs the reference registers without bodies
+        # (eforth.cpp:422-427) — present so `words` output matches and
+        # scripts using them parse silently
+        for stub in ("power", "?do", "roll", "within"):
+            CODE(stub, lambda vm: None)
 
         # --- native inner-interpreter dispatch table -----------------------
         # record base (scalar) definitions for the C engine; later tiers'

@@ -90,6 +90,16 @@ def test_see_and_words(t4):
     assert "dup" in out and "nn.model" in out
 
 
+def test_reference_noop_stubs(t4):
+    """the reference registers power/?do/roll/within as bodiless stubs
+    (eforth.cpp:422-427): they must list in `words` and parse silently"""
+    out = t4.forth("words")
+    for stub in ("power", "?do", "roll", "within"):
+        assert stub in out, f"{stub} missing from words"
+    out = t4.forth("abort 1 2 power roll within .s")
+    assert "2" in out and "Unknown" not in out
+
+
 def test_rstack(t4):
     out = t4.forth("abort : t3 >r 1 r@ r> + + . ; 5 10 t3")
     assert "21 " in out

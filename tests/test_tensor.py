@@ -88,6 +88,20 @@ def test_gemm_variants(t4):
         assert "+10.0000 +11.0000" in out, f"{v} mismatch: {out}"
 
 
+def test_gemm_fallback_is_loud(t4):
+    """a Pallas variant that cannot run must say so — the gemm0..4 A/B
+    words may never silently benchmark XLA five times (VERDICT r1
+    weak #5)"""
+    import jax
+    if jax.default_backend() == "tpu":
+        return                      # kernels run natively there
+    out = t4.forth("abort 1.0 0.0 "
+                   "2 3 matrix{ 1 2 3 4 5 6 } "
+                   "3 2 matrix{ 1 0 0 1 1 1 } "
+                   "2 2 matrix zeros gemm2 .")
+    assert "WARN gemm2" in out and "XLA" in out
+
+
 def test_views_alias_storage(t4):
     """mutating through a view must be visible via the base handle"""
     out = t4.forth("2 2 matrix ones dup 2 *= .")
