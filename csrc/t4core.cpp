@@ -276,7 +276,12 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
             break;
         case P_BRAN: vm->ip = (int32_t)ioff; break;
         case P_ZBRAN:
-            if (std::fabs((double)pop(vm)) < DU_EPS) vm->ip = (int32_t)ioff;
+            if (is_obj(vm->tos)) {      // flag is an object (e.g. a
+                vm->ip -= 4;            // deferred scalar) — python
+                cb(-4);                 // resolves and branches
+            }
+            else if (std::fabs((double)pop(vm)) < DU_EPS)
+                vm->ip = (int32_t)ioff;
             break;
         case P_FOR: rpush(vm, pop(vm)); break;
         case P_DO: {                    // rs.push(ss.pop()); rs.push(POP())
@@ -296,6 +301,17 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
             else {
                 int16_t nid = (int32_t)ioff < table_len
                               ? table[ioff] : (int16_t)-1;
+                // value-consuming ALU/logic words must not interpret
+                // object-handle bit patterns as numbers: when an operand
+                // at the stack top is a tagged object (tensor view,
+                // deferred scalar), run the Python word instead — its
+                // xop dispatch handles objects correctly.
+                if (nid >= W_ADD && nid <= W_UGT &&
+                    (is_obj(vm->tos) ||
+                     (vm->ss_idx > 0 && is_obj(vm->ss[vm->ss_idx - 1])) ||
+                     ((nid == W_MULDIV || nid == W_MULDIVMOD) &&
+                      vm->ss_idx > 1 && is_obj(vm->ss[vm->ss_idx - 2]))))
+                    nid = -1;
                 if (nid >= 0) native_word(vm, nid);
                 else cb((int32_t)ioff);
             }

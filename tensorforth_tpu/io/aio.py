@@ -37,6 +37,13 @@ class AIO:
     # stack-cell renderer (reference aio_tensor.cpp:15-57)
     # =====================================================================
     def to_s_obj(self, t, view: bool = False) -> str:
+        if t is None:
+            return "(null)"
+        if t.is_future():
+            # deferred scalars render as their (now materialized) value —
+            # stack dumps look identical to the eager implementation
+            from .fmt import gfmt
+            return gfmt(np.float32(t.value()))
         tn = [["T", "N", "D", "X"], ["t", "n", "d", "x"]]
         s = tn[1 if view else 0][t.ttype]
         if t.rank:
@@ -58,6 +65,9 @@ class AIO:
     def marshall(self, t) -> str:
         if t is None:
             return "(null)"
+        if t.is_future():
+            from .fmt import gfmt
+            return gfmt(np.float32(t.value()))
         if t.ttype in (T4Type.TENSOR, T4Type.DATASET):
             return self._tensor(t)
         if t.ttype == T4Type.MODEL:

@@ -1,0 +1,57 @@
+"""Deferred device scalars ("futures") — ROADMAP item 2.
+
+A Future is a tagged stack object (same NaN-boxed handle scheme as
+tensors, du.py) wrapping a 0-d device value that has been *dispatched*
+but not *read back*.  Producing words (``loss.ce``, ``nn.hit``) push a
+Future instead of blocking on the ~25 ms tunnel round-trip; scalar
+arithmetic on futures stays on device (still asynchronous); the value
+materializes only when the host genuinely needs it — printing (``.``),
+comparisons, control flow, int conversion.
+
+This pipelines the reference's canonical training loop
+(examples/t4_30e.4th `for forward loss.ce lox ! nn.hit hit +! backprop
+nn.adam next`): the per-batch device->host syncs disappear and one
+readback per epoch remains (the `stat` print).
+
+The reference has no analog — its kernels and host share one address
+space, so `loss.ce` (src/vm/netvm.cpp) is a synchronous device read.
+On a remote/tunneled accelerator the deferred design is what makes the
+word-at-a-time interface usable at speed.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class Future:
+    """0-d device scalar pending host materialization"""
+    __slots__ = ("data", "oid")
+
+    def __init__(self, data):
+        self.data = data          # jax 0-d array, np scalar, or python num
+        self.oid = 0
+
+    # --- T4Base duck-type -------------------------------------------------
+    @property
+    def numel(self) -> int:
+        return 1
+
+    def is_tensor(self) -> bool:
+        return False
+
+    def is_model(self) -> bool:
+        return False
+
+    def is_dataset(self) -> bool:
+        return False
+
+    def is_future(self) -> bool:
+        return True
+
+    # --- resolution ---------------------------------------------------------
+    def value(self) -> float:
+        """synchronize: device -> host float32"""
+        return float(np.float32(float(self.data)))
+
+    def __repr__(self):
+        return f"Future(oid={self.oid})"

@@ -61,7 +61,8 @@ class MMU:
             nbytes = obj.numel * 4
             self._alloc_bytes += nbytes
             self._peak_bytes = max(self._peak_bytes, self._alloc_bytes)
-            if self._tlsf is not None and not obj.is_model():
+            if self._tlsf is not None and not obj.is_model() \
+                    and not obj.is_future():
                 off = self._tlsf.t4_tlsf_malloc(max(nbytes, 4))
                 if off != (1 << 64) - 1:
                     self._offs[oid] = off
@@ -92,6 +93,13 @@ class MMU:
         d = Dataset(batch_sz)
         self.register(d)
         return d
+
+    def future(self, data):
+        """deferred device scalar (mu/future.py) — resolves on host use"""
+        from .future import Future
+        f = Future(data)
+        self.register(f)
+        return f
 
     def copy(self, src: Tensor) -> Tensor:
         """deep copy of payload + shape (not grads)"""

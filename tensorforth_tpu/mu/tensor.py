@@ -82,6 +82,9 @@ class Tensor:
     def is_dataset(self) -> bool:
         return self.ttype == T4Type.DATASET
 
+    def is_future(self) -> bool:
+        return False
+
     def is_same_shape(self, other: "Tensor") -> bool:
         return self.shape == other.shape
 

@@ -61,6 +61,9 @@ class Model:
     def is_dataset(self) -> bool:
         return False
 
+    def is_future(self) -> bool:
+        return False
+
     @staticmethod
     def nname(i) -> str:
         """padded 7-char layer name (reference LAYER_OP strings)"""
@@ -575,7 +578,13 @@ class Model:
         return funcs.hit_fn(self[-1].ensure_data(),
                             self._hot.ensure_data())
 
-    def loss(self, op: int, tgt: Tensor | None = None) -> float:
+    def hit_dev(self):
+        """device scalar, NO host sync — wrapped as a stack future"""
+        return self._hit
+
+    def loss_dev(self, op: int, tgt: Tensor | None = None):
+        """device scalar loss, NO host sync (the nn.loss words wrap this
+        in a future so FOR/NEXT epochs pipeline past the readback)"""
         if tgt is None:
             tgt = self._hot
         out = self[-1]
@@ -583,5 +592,7 @@ class Model:
             self._err("nn::loss shape mismatch")
             return 0.0
         name = Loss.NAMES[op].lower()
-        return float(funcs.loss_fn(name, out.ensure_data(),
-                                   tgt.ensure_data()))
+        return funcs.loss_fn(name, out.ensure_data(), tgt.ensure_data())
+
+    def loss(self, op: int, tgt: Tensor | None = None) -> float:
+        return float(self.loss_dev(op, tgt))

@@ -71,6 +71,39 @@ def identity(x):
 
 
 # ---------------------------------------------------------------------------
+# deferred-scalar (future) ops — 0-d device arithmetic, asynchronous;
+# names match the tenvm _MAP_NAME/_BIN_NAME tables.  Guards mirror the
+# host scalar ALU (vm.py xop1) so a deferred chain matches the eager one.
+# ---------------------------------------------------------------------------
+_SC_UN = {
+    "abs": jnp.abs, "neg": jnp.negative, "exp": jnp.exp,
+    "tanh": jnp.tanh, "sqrt": jnp.sqrt, "sin": jnp.sin, "cos": jnp.cos,
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "sigm": jax.nn.sigmoid,
+    "rcp": lambda x: 1.0 / x,
+    "sat": lambda x: jnp.clip(x, 0.0, 1.0),
+    "ln": lambda x: jnp.where(x > 1e-6, jnp.log(jnp.maximum(x, 1e-6)), 0.0),
+    "log": lambda x: jnp.where(x > 1e-6, jnp.log10(jnp.maximum(x, 1e-6)), 0.0),
+}
+
+
+def sc_op1(name, x):
+    """unary device-scalar op; None = no device mapping (host resolves)"""
+    f = _SC_UN.get(name)
+    if f is None:
+        return None
+    return f(jnp.asarray(x, jnp.float32))
+
+
+def sc_op2(name, a, b):
+    """binary device-scalar op; None = no device mapping (host resolves)"""
+    if name not in ("add", "sub", "mul", "div", "max", "min"):
+        return None
+    return _bin_op(name, jnp.asarray(a, jnp.float32),
+                   jnp.asarray(b, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # broadcast binary ops (reference k_ts_op / k_tt_op, Tensor::ten_op)
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("op",))

@@ -196,6 +196,12 @@ class NativeEngine:
             elif widx == -3:                     # KEY
                 vm.ip += IU_SZ
                 vm.PUSH(np.float32(ord(vm.sys.key())))
+            elif widx == -4:                     # ZBRAN on an object flag
+                from ..du import ZEQ
+                p = vm.pmem.rd_param(vm.ip)
+                vm.ip += IU_SZ
+                if ZEQ(vm.fpop()):               # resolves deferred scalars
+                    vm.ip = p.ioff
         except Exception as ex:                  # surface, don't crash C
             vm.sys.perr("", f"native-cb error: {ex} ")
             from ..vm.vm import VMState

@@ -167,7 +167,7 @@ class ForthVM(VM):
             elif op == Prim.BRAN:
                 self.ip = ix.ioff
             elif op == Prim.ZBRAN:
-                if ZEQ(self.POP()):
+                if ZEQ(self.fpop()):       # resolves deferred scalars
                     self.ip = ix.ioff
             elif op == Prim.FOR:
                 rs.push(self.POP())
@@ -316,9 +316,9 @@ class ForthVM(VM):
 
         def t2s(c: str) -> str:
             if c == "d":
-                return str(UINT(self.POP()))
+                return str(UINT(self.fpop()))
             if c in ("g", "f"):
-                return gfmt(self.POP())
+                return gfmt(np.float32(self.fpop()))
             if c == "x":
                 return "0x" + format(UINT(self.POP()), "x")
             if c == "s":
@@ -404,26 +404,26 @@ class ForthVM(VM):
         CODE("*", lambda vm: vm.xop2(M.MUL))
         CODE("/", lambda vm: vm.xop2(M.DIV))
         def _mod(vm):
-            t = D2I(vm.tos); n = D2I(vm.ss.pop())
+            t = int(vm._rtos()); n = int(vm._rnos())
             vm.tos = SCALAR(np.float32(math.fmod(n, t) if t else 0.0))
         CODE("mod", _mod)
         def _fmod(vm):
-            t = float(vm.tos); n = float(vm.ss.pop())
+            t = vm._rtos(); n = vm._rnos()
             vm.tos = SCALAR(np.float32(math.fmod(n, t) if t else 0.0))
         CODE("fmod", _fmod)
         def _divmod(vm):
-            t = float(vm.tos); n = float(vm.ss.pop())
+            t = vm._rtos(); n = vm._rnos()
             vm.ss.push(SCALAR(np.float32(math.fmod(n, t) if t else 0.0)))
             vm.tos = SCALAR(np.float32(n / t if t else 0.0))
         CODE("/mod", _divmod)
         def _muldiv(vm):                               # */  ( a b c -- a*b/c )
-            n2 = float(vm.ss.pop()) * float(vm.ss.pop())
-            t = float(vm.tos)
+            n2 = vm._rnos() * vm._rnos()
+            t = vm._rtos()
             vm.tos = SCALAR(np.float32(n2 / t if t else 0.0))
         CODE("*/", _muldiv)
         def _muldivmod(vm):                            # */mod ( a b c -- rem quo )
-            n2 = float(vm.ss.pop()) * float(vm.ss.pop())
-            t = float(vm.tos)
+            n2 = vm._rnos() * vm._rnos()
+            t = vm._rtos()
             m = math.fmod(n2, t) if t else 0.0
             vm.ss.push(SCALAR(np.float32(m)))
             vm.tos = SCALAR(np.float32(math.floor(n2 / t) if t else 0.0))
@@ -439,13 +439,19 @@ class ForthVM(VM):
         CODE("lshift", lambda vm: vm._ibin(lambda n, t: n << t))
         def _max(vm):
             n = vm.ss.pop()
-            if float(n) > float(vm.tos):
+            if vm.fval(n) > vm.fval(vm.tos):
+                vm.DROP_DU(vm.tos)
                 vm.tos = n
+            else:
+                vm.DROP_DU(n)
         CODE("max", _max)
         def _min(vm):
             n = vm.ss.pop()
-            if float(n) < float(vm.tos):
+            if vm.fval(n) < vm.fval(vm.tos):
+                vm.DROP_DU(vm.tos)
                 vm.tos = n
+            else:
+                vm.DROP_DU(n)
         CODE("min", _min)
         CODE("2*", lambda vm: vm._fun(lambda t: t * 2.0))
         CODE("2/", lambda vm: vm._fun(lambda t: t / 2.0))
@@ -456,18 +462,18 @@ class ForthVM(VM):
         CODE("round", lambda vm: vm._fun(lambda t: math.copysign(math.floor(abs(t) + 0.5), t)))
         CODE("ceil",  lambda vm: vm._fun(math.ceil))
         CODE("floor", lambda vm: vm._fun(math.floor))
-        # --- logic -----------------------------------------------------------
-        CODE("0=", lambda vm: vm._setb(ZEQ(vm.tos)))
-        CODE("0<", lambda vm: vm._setb(LT(vm.tos, 0.0)))
-        CODE("0>", lambda vm: vm._setb(GT(vm.tos, 0.0)))
-        CODE("=",  lambda vm: vm._setb(EQ(vm.ss.pop(), vm.tos)))
-        CODE(">",  lambda vm: vm._setb(GT(vm.ss.pop(), vm.tos)))
-        CODE("<",  lambda vm: vm._setb(LT(vm.ss.pop(), vm.tos)))
-        CODE("<>", lambda vm: vm._setb(not EQ(vm.ss.pop(), vm.tos)))
-        CODE(">=", lambda vm: vm._setb(not LT(vm.ss.pop(), vm.tos)))
-        CODE("<=", lambda vm: vm._setb(not GT(vm.ss.pop(), vm.tos)))
-        CODE("u<", lambda vm: vm._setb(UINT(D2I(vm.ss.pop())) < UINT(D2I(vm.tos))))
-        CODE("u>", lambda vm: vm._setb(UINT(D2I(vm.ss.pop())) > UINT(D2I(vm.tos))))
+        # --- logic (future-resolving: comparisons are host decisions) --------
+        CODE("0=", lambda vm: vm._setb(ZEQ(vm._rtos())))
+        CODE("0<", lambda vm: vm._setb(LT(vm._rtos(), 0.0)))
+        CODE("0>", lambda vm: vm._setb(GT(vm._rtos(), 0.0)))
+        CODE("=",  lambda vm: vm._setb(EQ(vm._rnos(), vm._rtos())))
+        CODE(">",  lambda vm: vm._setb(GT(vm._rnos(), vm._rtos())))
+        CODE("<",  lambda vm: vm._setb(LT(vm._rnos(), vm._rtos())))
+        CODE("<>", lambda vm: vm._setb(not EQ(vm._rnos(), vm._rtos())))
+        CODE(">=", lambda vm: vm._setb(not LT(vm._rnos(), vm._rtos())))
+        CODE("<=", lambda vm: vm._setb(not GT(vm._rnos(), vm._rtos())))
+        CODE("u<", lambda vm: vm._setb(UINT(int(vm._rnos())) < UINT(int(vm._rtos()))))
+        CODE("u>", lambda vm: vm._setb(UINT(int(vm._rnos())) > UINT(int(vm._rtos()))))
         # --- IO ----------------------------------------------------------------
         CODE("base",    lambda vm: vm.PUSH(np.float32(vm.base_addr)))
         CODE("decimal", lambda vm: vm.set_BASE(10))
@@ -600,7 +606,12 @@ class ForthVM(VM):
             i = vm.POPi(); vm.PUSH(vm.DUP_DU(vm.pmem.rd_du(i)))
         CODE("@", _at)
         def _store(vm):
-            i = vm.POPi(); vm.pmem.wr_du(i, vm.POP())
+            i = vm.POPi()
+            old = vm.pmem.rd_du(i)
+            vm.pmem.wr_du(i, vm.POP())
+            # an overwritten deferred scalar can never be observed again
+            if vm.future_of(old) is not None and not IS_VIEW(old):
+                vm.mmu.mark_free(old)
         CODE("!", _store)
         def _cat(vm):
             i = vm.POPi(); vm.PUSH(np.float32(vm.pmem.rd_u8(i)))
@@ -610,11 +621,26 @@ class ForthVM(VM):
         CODE("c!", _cstore)
         def _plus_store(vm):
             i = vm.POPi()
-            v = SCALAR(np.float32(float(vm.pmem.rd_du(i)) + float(vm.POP())))
-            vm.pmem.wr_du(i, v)
+            cell = vm.pmem.rd_du(i)
+            addend = vm.POP()
+            fc, fa = vm.future_of(cell), vm.future_of(addend)
+            if fc is not None or fa is not None:
+                # keep the accumulation ON DEVICE — `nn.hit hit +!` style
+                # epoch counters never block the training pipeline
+                a = fc.data if fc is not None else float(cell)
+                b = fa.data if fa is not None else float(addend)
+                nf = vm.mmu.future(a + b)
+                vm.pmem.wr_du(i, vm.mmu.obj2du(nf))
+                for old in (cell, addend):
+                    if vm.future_of(old) is not None and not IS_VIEW(old):
+                        vm.mmu.mark_free(old)
+            else:
+                v = SCALAR(np.float32(float(cell) + float(addend)))
+                vm.pmem.wr_du(i, v)
         CODE("+!", _plus_store)
         def _question(vm):
-            i = vm.POPi(); vm._print(IoOp.DOT, vm.pmem.rd_du(i))
+            # print a VIEW: `?` must not free the stored object
+            i = vm.POPi(); vm._print(IoOp.DOT, vm.DUP_DU(vm.pmem.rd_du(i)))
         CODE("?", _question)
         CODE(",", lambda vm: vm.add_du(vm.POP()))
         def _cells(vm):
@@ -696,8 +722,29 @@ class ForthVM(VM):
         register_multitask_words(self.dict)
 
     # --- tiny ALU adapters --------------------------------------------------
+    def _rtos(self) -> float:
+        """resolve TOS to a host float (materializes futures; owner is
+        marked for sweep since the caller overwrites/consumes TOS)"""
+        v = self.tos
+        fo = self.future_of(v)
+        if fo is None:
+            return float(v)
+        r = fo.value()
+        self.DROP_DU(v)
+        return r
+
+    def _rnos(self) -> float:
+        """pop+resolve NOS (below TOS)"""
+        v = self.ss.pop()
+        fo = self.future_of(v)
+        if fo is None:
+            return float(v)
+        r = fo.value()
+        self.DROP_DU(v)
+        return r
+
     def _fun(self, f):
-        self.tos = SCALAR(np.float32(f(float(self.tos))))
+        self.tos = SCALAR(np.float32(f(self._rtos())))
 
     @staticmethod
     def _wrap32(r: int) -> int:
@@ -705,11 +752,11 @@ class ForthVM(VM):
         return r - 0x100000000 if r >= 0x80000000 else r
 
     def _iun(self, f):
-        self.tos = SCALAR(np.float32(self._wrap32(f(D2I(self.tos)))))
+        self.tos = SCALAR(np.float32(self._wrap32(f(int(self._rtos())))))
 
     def _ibin(self, f):
-        t = D2I(self.tos)
-        n = D2I(self.ss.pop())
+        t = int(self._rtos())
+        n = int(self._rnos())
         self.tos = SCALAR(np.float32(self._wrap32(f(n, t))))
 
     def _setb(self, cond):

@@ -193,18 +193,20 @@ class NetVM(TensorVM):
             self.sys.perr("", "TOS not a NN model? ")
 
     def _loss(self, op: int):
+        """pushes a deferred device scalar (mu/future.py) — the training
+        loop never blocks on the loss readback; printing/compares resolve"""
         if self.TOS2T():
             from ..nn import funcs
-            n = float(funcs.loss_fn(Loss.NAMES[op].lower(),
-                                    self.TNOS().ensure_data(),
-                                    self.TTOS().ensure_data()))
-            self.PUSH(SCALAR(np.float32(n)))
+            n = funcs.loss_fn(Loss.NAMES[op].lower(),
+                              self.TNOS().ensure_data(),
+                              self.TTOS().ensure_data())
+            self.PUSH_OBJ(self.mmu.future(n))
         elif self.TOS1T() and self.IS_M(self.ss[-1]):
-            n = self.MNOS().loss(op, self.TTOS())
+            n = self.MNOS().loss_dev(op, self.TTOS())
             self.POP()
-            self.PUSH(SCALAR(np.float32(n)))
+            self.PUSH_OBJ(self.mmu.future(n))
         elif self.IS_M(self.tos):
-            self.PUSH(SCALAR(np.float32(self.MTOS().loss(op))))
+            self.PUSH_OBJ(self.mmu.future(self.MTOS().loss_dev(op)))
         else:
             self.sys.perr("", "model? ")
 
@@ -381,7 +383,9 @@ class NetVM(TensorVM):
         CODE("nn.onehot=", _nn_onehot_set)
         def _nn_hit(vm):
             if vm.IS_M(vm.tos):
-                vm.PUSH(I2D(vm.MTOS().hit(False)))
+                # deferred device scalar: `nn.hit hit +!` accumulates on
+                # device; the epoch-end print is the only readback
+                vm.PUSH_OBJ(vm.mmu.future(vm.MTOS().hit_dev()))
             else:
                 vm.sys.perr("", "TOS is not a model! ")
         CODE("nn.hit", _nn_hit)

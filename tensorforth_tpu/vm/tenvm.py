@@ -117,6 +117,18 @@ class TensorVM(ForthVM):
     def xop1(self, op: int, v=DU0):
         if not IS_OBJ(self.tos):
             return super().xop1(op, v)
+        fo = self.future_of(self.tos)
+        if fo is not None:
+            # unary math on a deferred scalar stays on device (async)
+            from ..ops import engine
+            r = engine.sc_op1(_MAP_NAME.get(op), fo.data)
+            old = self.POP()
+            self.DROP_DU(old)
+            if r is None:                      # host-only op: materialize
+                self.PUSH(SCALAR(np.float32(fo.value())))
+                return super().xop1(op, v)
+            self.PUSH_OBJ(self.mmu.future(r))
+            return
         A = self.TTOS()
         if A is None or not A.is_tensor():
             self.sys.perr("", "tensor? ")
@@ -133,6 +145,9 @@ class TensorVM(ForthVM):
     # 2-operand ops with scalar/tensor dispatch (reference tenvm.cpp:83-130)
     # ======================================================================
     def xop2(self, op: int, x: int = T_KEEP):
+        fn, ft = self.future_of(self.ss[-1]), self.future_of(self.tos)
+        if fn is not None or ft is not None:
+            return self._xop2_future(op, fn, ft)
         tt = (2 if IS_OBJ(self.ss[-1]) else 0) | (1 if IS_OBJ(self.tos) else 0)
         from ..ops import engine
         name = _BIN_NAME.get(op)
@@ -169,6 +184,45 @@ class TensorVM(ForthVM):
                 self.DROP_DU(self.POP())
                 self.DROP_DU(self.POP())
             self.PUSH_OBJ(O)
+
+    def _materialize(self, fo, where: str):
+        """replace a future DU in tos/nos with its resolved scalar cell"""
+        if where == "tos":
+            old, self.tos = self.tos, SCALAR(np.float32(fo.value()))
+        else:
+            old, self.ss[-1] = self.ss[-1], SCALAR(np.float32(fo.value()))
+        if not IS_VIEW(old):
+            self.mmu.mark_free(old)
+
+    def _xop2_future(self, op: int, fn, ft):
+        """binary op with >=1 deferred-scalar operand.  future(+)scalar
+        and future(+)future stay on device (asynchronous); a future
+        meeting a TENSOR — or an op with no device mapping — materializes
+        in place and re-enters the normal dispatch."""
+        from ..ops import engine
+        if (fn is None and self.is_ten(self.ss[-1])) or \
+           (ft is None and self.is_ten(self.tos)):
+            if ft is not None:
+                self._materialize(ft, "tos")
+            if fn is not None:
+                self._materialize(fn, "nos")
+            return self.xop2(op)
+        r = engine.sc_op2(_BIN_NAME.get(op),
+                          fn.data if fn is not None else float(self.ss[-1]),
+                          ft.data if ft is not None else float(self.tos))
+        if r is None:                           # host-only op
+            if ft is not None:
+                self._materialize(ft, "tos")
+            if fn is not None:
+                self._materialize(fn, "nos")
+            return super().xop2(op)
+        n = self.ss.pop()
+        t = self.tos
+        for du in (n, t):
+            if self.future_of(du) is not None and not IS_VIEW(du):
+                self.mmu.mark_free(du)
+        self.tos = self.mmu.obj2du(self.mmu.future(r))
+        return None
 
     def _tt_op(self, name: str, A: Tensor, B: Tensor):
         if (A.N() == 1 or B.N() == 1) and A.HWC() != B.HWC():
@@ -463,10 +517,11 @@ class TensorVM(ForthVM):
                 t.replace_data((d - mu) / max(sd, 1e-12) * std + avg)
         CODE("normalize", _normalize)
         from ..ops import engine as _e
-        CODE("sum",  lambda vm: vm.PUSH(SCALAR(np.float32(_e.t_sum(vm.TTOS().ensure_data())))) if vm.TOS1T() else None)
-        CODE("avg",  lambda vm: vm.PUSH(SCALAR(np.float32(_e.t_avg(vm.TTOS().ensure_data())))) if vm.TOS1T() else None)
-        CODE("std",  lambda vm: vm.PUSH(SCALAR(np.float32(_e.t_std(vm.TTOS().ensure_data())))) if vm.TOS1T() else None)
-        CODE("norm", lambda vm: vm.PUSH(SCALAR(np.float32(_e.t_norm(vm.TTOS().ensure_data())))) if vm.TOS1T() else None)
+        # reductions push deferred device scalars (resolve on host use)
+        CODE("sum",  lambda vm: vm.PUSH_OBJ(vm.mmu.future(_e.t_sum(vm.TTOS().ensure_data()))) if vm.TOS1T() else None)
+        CODE("avg",  lambda vm: vm.PUSH_OBJ(vm.mmu.future(_e.t_avg(vm.TTOS().ensure_data()))) if vm.TOS1T() else None)
+        CODE("std",  lambda vm: vm.PUSH_OBJ(vm.mmu.future(_e.t_std(vm.TTOS().ensure_data()))) if vm.TOS1T() else None)
+        CODE("norm", lambda vm: vm.PUSH_OBJ(vm.mmu.future(_e.t_norm(vm.TTOS().ensure_data()))) if vm.TOS1T() else None)
         def _lbrace(vm):
             if vm.TOS1T() and vm.ten_lvl > 0:
                 vm.ten_lvl += 1

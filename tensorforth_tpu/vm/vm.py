@@ -115,7 +115,31 @@ class VM:
         return t
 
     def POPi(self) -> int:
-        return int(float(self.POP()))
+        return int(self.fpop())
+
+    # --- deferred-scalar (future) resolution --------------------------------
+    def future_of(self, v):
+        """Future object behind a DU, or None"""
+        if IS_OBJ(v) and self.mmu is not None:
+            o = self.mmu.du2obj(v)
+            if o is not None and o.is_future():
+                return o
+        return None
+
+    def fval(self, v) -> float:
+        """host value of a DU — synchronizes deferred device scalars"""
+        f = self.future_of(v)
+        return f.value() if f is not None else float(v)
+
+    def fpop(self) -> float:
+        """POP + resolve; a consumed owner future is marked for sweep"""
+        v = self.POP()
+        f = self.future_of(v)
+        if f is None:
+            return float(v)
+        r = f.value()
+        self.DROP_DU(v)
+        return r
 
     @property
     def SP(self) -> int:

@@ -1,0 +1,106 @@
+"""Deferred device scalars (mu/future.py) + native-engine object guard.
+
+The training-loop words (loss.ce, nn.hit, sum/avg/std/norm) push
+futures that resolve on host use; everything observable must match the
+eager implementation bit-for-bit at the REPL surface.
+"""
+import numpy as np
+
+
+def test_loss_is_deferred_but_prints_right(t4):
+    t4.forth("""2 1 2 1 nn.model 2 linear softmax constant fm
+fm 4 vector{ 10 1 1 10 } 2 1 2 1 reshape4 forward
+4 vector{ 1 0 0 1 } 2 1 2 1 reshape4 nn.onehot=""")
+    out = t4.forth("loss.ce .")
+    v = float(out.strip().split()[0])
+    assert 0.0 < v < 20.0
+
+
+def test_loss_store_fetch_print(t4):
+    """the t4_30e pattern: loss.ce lox ! ... lox @ ."""
+    t4.forth("""variable lox
+2 1 2 1 nn.model 2 linear softmax constant fm2
+fm2 4 vector{ 10 1 1 10 } 2 1 2 1 reshape4 forward
+4 vector{ 1 0 0 1 } 2 1 2 1 reshape4 nn.onehot=
+loss.ce lox ! drop""")
+    out = t4.forth("lox @ .")
+    v = float(out.strip().split()[0])
+    assert 0.0 < v < 20.0
+    out2 = t4.forth("lox ?")
+    assert abs(float(out2.strip().split()[0]) - v) < 1e-5
+
+
+def test_hit_accumulates_on_device(t4):
+    """nn.hit hit +! — device-side accumulation across batches"""
+    t4.forth("""variable hit 0 hit !
+2 1 2 1 nn.model 2 linear softmax constant fm3
+fm3 4 vector{ 10 1 1 10 } 2 1 2 1 reshape4 forward
+4 vector{ 1 0 0 1 } 2 1 2 1 reshape4 nn.onehot=""")
+    single = float(t4.forth("nn.hit .").strip().split()[0])
+    t4.forth("nn.hit hit +!")
+    t4.forth("nn.hit hit +!")
+    out = t4.forth("hit @ .")
+    v = float(out.strip().split()[0])
+    assert v == 2 * single, f"expected {2 * single}, got {v}"
+
+
+def test_future_arithmetic_and_compare(t4):
+    """future (+) scalar stays correct; comparisons/branches resolve"""
+    out = t4.forth("abort 3 vector{ 1 2 3 } sum 2 * 1+ .")
+    assert out.strip().split()[0] == "13"
+    out = t4.forth("abort 3 vector{ 1 2 3 } sum 5 > . 3 vector{ 1 2 3 } sum 7 < .")
+    assert out.split()[0] == "-1" and out.split()[1] == "-1"
+    t4.forth("abort variable fv 3 vector{ 1 2 3 } sum fv !")
+    out = t4.forth(": chk fv @ 5 > if 42 else 7 then . ; chk")
+    assert "42" in out
+    # ZBRAN directly on a future flag (native engine cb(-4) path)
+    out = t4.forth(": chk2 fv @ if 11 else 22 then . ; chk2")
+    assert "11" in out
+    t4.forth("variable zv 0 zv !")
+    out = t4.forth(": chk3 zv @ if 11 else 22 then . ; chk3")
+    assert "22" in out
+
+
+def test_future_future_arithmetic(t4):
+    out = t4.forth("abort 3 vector{ 1 2 3 } sum swap drop "
+                   "2 vector{ 10 20 } sum swap drop / .")
+    assert out.strip().split()[0] == "0.2"
+
+
+def test_future_meets_tensor(t4):
+    """future * tensor materializes and broadcasts like a scalar"""
+    out = t4.forth("abort 2 vector{ 1 2 } sum 2 2 matrix ones * .")
+    assert "+3.0000" in out
+
+
+def test_native_engine_object_guard(t4):
+    """REGRESSION: native ALU words must not consume object-handle bit
+    patterns — `: tf2 2 * ;` on a matrix used to print 1.4013e-44"""
+    out = t4.forth("abort : tfg2 2 * ; 2 2 matrix ones tfg2 .")
+    assert "+2.0000" in out, f"native engine corrupted tensor arithmetic: {out}"
+    out = t4.forth("abort : tfs 1 swap - ; 2 2 matrix ones 2 *= tfs .")
+    assert "-1.0000" in out
+
+
+def test_sum_in_colon_word_compares(t4):
+    """future produced and consumed inside one compiled word (native path)"""
+    out = t4.forth("abort : fsum 3 vector{ 2 2 2 } sum ; fsum 6 = .")
+    assert out.strip().split()[0] == "-1"
+
+
+def test_epoch_loop_single_readback_semantics(t4, monkeypatch):
+    """whole t4_30e-style epoch: values after the loop match eager math"""
+    monkeypatch.setenv("T4_MAX_BATCH", "3")
+    t4.forth("""0 trace
+variable hit 0 hit !
+variable lox
+16 28 28 1 nn.model flatten 10 linear softmax constant me
+me batchsize dataset mnist_train constant de
+: ep ( N ds -- N' ) for forward loss.ce lox ! nn.hit hit +! backprop 0.01 nn.adam next ;
+me de ep drop""")
+    out = t4.forth("hit @ . lox @ .")
+    parts = out.strip().split()
+    hits = float(parts[0])
+    loss = float(parts[1])
+    assert 0 <= hits <= 48          # 3 batches x 16
+    assert 0.0 < loss < 50.0
