@@ -97,10 +97,10 @@ def test_nn_train_on_mesh(t4, monkeypatch):
     monkeypatch.setenv("T4_MESH", "dp4,tp2")
     t4.forth("""0 trace
 16 28 28 1 nn.model
-flatten 32 linear relu 10 linear softmax
+flatten 64 linear relu 10 linear softmax
 constant mm2
 mm2 batchsize dataset mnist_train constant dm2
-mm2 dm2 0.005 3 nn.train""")
+mm2 dm2 0.001 40 nn.train""")
     out = t4.forth("dm2 rewind\nmm2 dm2 forward nn.hit .")
     last = [l for l in out.strip().split("\n") if l][-1]
     assert int(float(last.split()[0])) >= 10
