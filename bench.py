@@ -134,6 +134,105 @@ def bench_mnist(n_steps: int = 30, batch: int = 100):
     return sps_interactive, dt / n_steps * 1000.0, sps_epoch
 
 
+def _repl():
+    """fresh capture-mode interpreter (resets the singletons)"""
+    import io
+    from tensorforth_tpu.cli import TensorForth
+    from tensorforth_tpu.system import System
+    from tensorforth_tpu.mu.mmu import MMU
+    from tensorforth_tpu.debug import Debug
+    from tensorforth_tpu.io.aio import AIO
+    System.free_sys()
+    MMU.free_mmu()
+    Debug.free_db()
+    AIO.free_io()
+    buf = io.StringIO()
+    inst = TensorForth(fin=io.StringIO(""), fout=buf)
+
+    def run(s):
+        start = buf.tell()
+        for line in s.split("\n"):
+            inst.run_line(line)
+        return buf.getvalue()[start:]
+
+    return inst, run
+
+
+def bench_word_matmul():
+    """t4_20a `mx` word loop VERBATIM (examples/t4_20a.4th:19-25):
+    [512,1024]@[1024,256] per cycle through the interpreter's @ word.
+    Reference GTX 1660: 0.768 ms/cycle."""
+    import re
+    _, run = _repl()
+    run("0 trace\n512 1024 matrix rand 1024 256 matrix ones")
+    run(': mx dup >r clock >r for @ drop next clock r> - r> 1+ / '
+        '." => " . ."  msec/cycle" cr ;')
+    print("[bench] word-path mx warmup ...", file=sys.stderr, flush=True)
+    run("99 mx")                                    # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        out = run("999 mx")
+        best = min(best, float(re.search(r"=> ([-+\d.eE]+) ", out).group(1)))
+    return best
+
+
+def bench_word_epoch(n_batches: int = 100, batch: int = 100):
+    """t4_30e inner training loop VERBATIM (forward / loss.ce lox ! /
+    nn.hit hit +! / backprop / nn.adam per batch) — the interactive
+    word-at-a-time path with deferred-scalar futures.  Returns
+    (ms_per_batch, samples_per_sec)."""
+    import re
+    os.environ["T4_MAX_BATCH"] = str(n_batches)
+    try:
+        _, run = _repl()
+        run(f"""0 trace
+{batch} 28 28 1 nn.model
+0.5 10 conv2d 2 maxpool relu flatten 100 linear relu 10 linear softmax
+constant bm
+bm batchsize dataset mnist_train constant bds
+variable hit 0 hit ! variable lox
+: ep for forward loss.ce lox ! nn.hit hit +! backprop 0.001 nn.adam next ;""")
+        print("[bench] word-path epoch warmup (compiles fwd/bwd/adam) ...",
+              file=sys.stderr, flush=True)
+        os.environ["T4_MAX_BATCH"] = "2"
+        run("bm bds ep drop hit @ . 0 hit !")       # compile + warm + sync
+        os.environ["T4_MAX_BATCH"] = str(n_batches)
+        run("bds rewind")
+        out = run('clock bm bds ep drop clock swap - ." EPMS= " . cr '
+                  'hit @ . 0 hit !')
+        ms = float(re.search(r"EPMS= ([-+\d.eE]+) ", out).group(1))
+        return ms / n_batches, n_batches * batch / (ms / 1e3)
+    finally:
+        os.environ.pop("T4_MAX_BATCH", None)
+
+
+def run_accuracy_gate(epochs: int = 20, n_batches: int = 0):
+    """BASELINE.md gate: t4_30e CNN to >=98% accuracy (word-level API,
+    fused nn.train epochs).  Full corpus unless n_batches limits it."""
+    import re
+    if n_batches:
+        os.environ["T4_MAX_BATCH"] = str(n_batches)
+    try:
+        _, run = _repl()
+        run("""0 trace
+100 28 28 1 nn.model
+0.5 10 conv2d 2 maxpool relu flatten 100 linear relu 10 linear softmax
+constant gm
+gm batchsize dataset mnist_train constant gds""")
+        print(f"[bench] accuracy gate: {epochs} epochs ...",
+              file=sys.stderr, flush=True)
+        run(f"gm gds 0.001 {epochs} nn.train")
+        # held-out evaluation: mnist_test is a disjoint draw
+        run("""gm batchsize dataset mnist_test constant gtd
+variable gh 0 gh ! variable gn 0 gn !
+: gep for forward nn.hit gh +! batchsize gn +! next ;
+gm gtd gep drop""")
+        out = run('gh @ gn @ / ." GATE= " . cr')
+        return float(re.search(r"GATE= ([-+\d.eE]+) ", out).group(1))
+    finally:
+        os.environ.pop("T4_MAX_BATCH", None)
+
+
 def main():
     import jax
     os.makedirs(".jax_cache", exist_ok=True)
@@ -145,21 +244,33 @@ def main():
     dev = jax.devices()[0]
     gf_xla, gf_pal = bench_gemm()
     sps, ms_step, sps_epoch = bench_mnist()
+    ms_mx = bench_word_matmul()
+    wb_ms, wb_sps = bench_word_epoch()
+    gate = None
+    if os.environ.get("T4_BENCH_GATE"):
+        gate = run_accuracy_gate(epochs=20)
     best = max(gf_xla, gf_pal)
+    details = {
+        "device": str(dev),
+        "gemm_xla_gflops": round(gf_xla, 1),
+        "gemm_pallas_gflops": round(gf_pal, 1),
+        "mnist_cnn_samples_per_sec": round(sps, 0),
+        "mnist_cnn_ms_per_batch100": round(ms_step, 3),
+        "mnist_cnn_epoch_mode_samples_per_sec": round(sps_epoch, 0),
+        "word_mx_ms_per_cycle": round(ms_mx, 4),
+        "word_mx_vs_gtx1660_0.768ms": round(0.768 / ms_mx, 2),
+        "word_epoch_ms_per_batch100": round(wb_ms, 3),
+        "word_epoch_samples_per_sec": round(wb_sps, 0),
+        "reference_gemm_gflops": round(REF_GEMM_GFLOPS, 1),
+    }
+    if gate is not None:
+        details["t4_30e_test_accuracy_20ep"] = round(gate, 4)
     print(json.dumps({
         "metric": "GEMM 1024^3 f32 GFLOP/s (chained, synced)",
         "value": round(best, 1),
         "unit": "GFLOP/s",
         "vs_baseline": round(best / REF_GEMM_GFLOPS, 2),
-        "details": {
-            "device": str(dev),
-            "gemm_xla_gflops": round(gf_xla, 1),
-            "gemm_pallas_gflops": round(gf_pal, 1),
-            "mnist_cnn_samples_per_sec": round(sps, 0),
-            "mnist_cnn_ms_per_batch100": round(ms_step, 3),
-            "mnist_cnn_epoch_mode_samples_per_sec": round(sps_epoch, 0),
-            "reference_gemm_gflops": round(REF_GEMM_GFLOPS, 1),
-        },
+        "details": details,
     }))
 
 
