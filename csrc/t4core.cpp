@@ -32,6 +32,27 @@ struct T4VM {
     int32_t  rs_sz;
     uint32_t dropped[256];
     int32_t  n_dropped;
+    // --- outer-interpreter extension (t4_outer) -----------------------
+    const char *in;          // current input line (ASCII)
+    int32_t  in_len;
+    int32_t  in_idx;
+    int32_t  vm_id;          // pmem user-area slot holding BASE
+    int32_t  compile;
+    int32_t  here;
+    int32_t  pmem_sz;
+    int32_t  py_flags;       // set by python after a callback:
+                             //   bit0 = tensor-literal capture active
+                             //   bit1 = dictionary changed (tables stale)
+};
+
+// dictionary snapshot for native find/compile (rebuilt by python
+// whenever the word list changes)
+struct T4Dict {
+    const char     *nblob;   // nul-terminated names, concatenated
+    const uint32_t *noffs;   // name offset per word index
+    const uint8_t  *nflags;  // bit0 imm, bit1 udf
+    const uint32_t *npfa;    // parameter-field address (colon words)
+    int32_t         nwords;
 };
 
 typedef void (*t4_cb)(int32_t widx);
@@ -319,6 +340,132 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
         }
     }
     return vm->state;
+}
+
+// ---- outer interpreter ------------------------------------------------------
+// Native port of the token loop (reference src/vm/eforth.cpp:437-483
+// parse/number + src/mu/mmu.cu:107-115 dictionary find): tokenizer,
+// reverse-scan find, number parser with base prefixes, compiler cells.
+// Python words / immediates-in-compile / tensor-literal capture /
+// unknown tokens hand control back to the host (return codes below).
+
+enum { OUT_DONE = 0, OUT_HOLD = 1, OUT_TOKEN = 2, OUT_REENTER = 3 };
+enum { PYF_TENLVL = 1, PYF_DIRTY = 2 };
+static const int32_t P_MAX_OP = 12;
+
+static int next_token(T4VM *vm, int *start, int *tlen) {
+    const char *s = vm->in;
+    int i = vm->in_idx, n = vm->in_len;
+    while (i < n && (s[i] == ' ' || s[i] == '\t')) ++i;
+    if (i >= n) { vm->in_idx = i; return 0; }
+    int j = i;
+    while (j < n && s[j] != ' ' && s[j] != '\t') ++j;
+    *start = i; *tlen = j - i;
+    vm->in_idx = j;
+    return 1;
+}
+
+static int32_t dict_find(const T4Dict *d, const char *tok, int tlen) {
+    for (int32_t i = d->nwords - 1; i > 0; --i) {
+        const char *nm = d->nblob + d->noffs[i];
+        int k = 0;
+        while (k < tlen && nm[k] == tok[k]) ++k;
+        if (k == tlen && nm[k] == '\0') return i;
+    }
+    return 0;
+}
+
+static bool parse_number(const char *tok, int tlen, int base, float *out) {
+    char buf[64];
+    if (tlen <= 0 || tlen >= 64) return false;
+    memcpy(buf, tok, tlen);
+    buf[tlen] = '\0';
+    const char *p = buf;
+    int b = base;
+    if (*p == '%')      { b = 2;  ++p; }
+    else if (*p == '&' || *p == '#') { b = 10; ++p; }
+    else if (*p == '$') { b = 16; ++p; }
+    if (!*p) return false;
+    if (b == 10 && strchr(p, '.')) {
+        char *e;
+        float f = strtof(p, &e);
+        if (*e) return false;
+        *out = f;
+        return true;
+    }
+    char *e;
+    long v = strtol(p, &e, b);
+    if (e == p || *e) return false;
+    *out = (float)v;
+    return true;
+}
+
+static void compile_cell(T4VM *vm, uint32_t u) {
+    memcpy(vm->pmem + vm->here, &u, 4);
+    vm->here += 4;
+}
+
+int32_t t4_outer(T4VM *vm, const T4Dict *dict,
+                 const int16_t *table, int32_t table_len, t4_cb cb) {
+    int start, tlen;
+    while (next_token(vm, &start, &tlen)) {
+        const char *tok = vm->in + start;
+        vm->state = ST_QUERY;
+        int32_t w = dict_find(dict, tok, tlen);
+        if (w > 0) {
+            uint8_t fl = dict->nflags[w];
+            bool imm = fl & 1, udf = fl & 2;
+            if (vm->compile && !imm) {                  // compile the call
+                if (vm->here + 4 > vm->pmem_sz) goto bounce;
+                uint32_t u = ((uint32_t)P_MAX_OP << 24)
+                           | (udf ? (dict->npfa[w] & 0xFFFFFF) | 0x40000000u
+                                  : (uint32_t)w & 0xFFFFFF);
+                compile_cell(vm, u);
+                continue;
+            }
+            if (udf) {                                  // interpret colon word
+                vm->ip = 0;
+                rpush(vm, 0.0f);
+                vm->ip = (int32_t)dict->npfa[w];
+                vm->state = ST_NEST;
+                t4_nest(vm, table, table_len, cb);
+            } else {
+                int16_t nid = w < table_len ? table[w] : (int16_t)-1;
+                if (nid >= W_ADD && nid <= W_UGT &&
+                    (is_obj(vm->tos) ||
+                     (vm->ss_idx > 0 && is_obj(vm->ss[vm->ss_idx - 1])) ||
+                     ((nid == W_MULDIV || nid == W_MULDIVMOD) &&
+                      vm->ss_idx > 1 && is_obj(vm->ss[vm->ss_idx - 2]))))
+                    nid = -1;
+                if (nid >= 0) native_word(vm, nid);
+                else cb(w);                             // python word
+            }
+            if (vm->state == ST_HOLD) return OUT_HOLD;
+            if (vm->py_flags & PYF_TENLVL) return OUT_REENTER;
+            if (vm->py_flags & PYF_DIRTY)  return OUT_REENTER;
+            continue;
+        }
+        {   // number?
+            float f;
+            int b = vm->pmem[vm->vm_id];                // BASE user area
+            if (parse_number(tok, tlen, b, &f)) {
+                float v = scal((double)f);
+                if (vm->compile) {
+                    if (vm->here + 8 > vm->pmem_sz) goto bounce;
+                    compile_cell(vm, (uint32_t)3 << 24);      // P_LIT
+                    memcpy(vm->pmem + vm->here, &v, 4);
+                    vm->here += 4;
+                } else {
+                    push(vm, v);
+                }
+                continue;
+            }
+        }
+    bounce:                     // python handles this token (immediate in
+        vm->in_idx = start;     // compile mode, literal capture, unknown)
+        return OUT_TOKEN;
+    }
+    return OUT_DONE;
 }
 
 }  // extern "C"

@@ -50,6 +50,25 @@ class T4VMStruct(C.Structure):
         ("rs_sz", C.c_int32),
         ("dropped", C.c_uint32 * 256),
         ("n_dropped", C.c_int32),
+        # outer-interpreter extension (must match csrc/t4core.cpp T4VM)
+        ("in_", C.c_char_p),
+        ("in_len", C.c_int32),
+        ("in_idx", C.c_int32),
+        ("vm_id", C.c_int32),
+        ("compile", C.c_int32),
+        ("here", C.c_int32),
+        ("pmem_sz", C.c_int32),
+        ("py_flags", C.c_int32),
+    ]
+
+
+class T4DictStruct(C.Structure):
+    _fields_ = [
+        ("nblob", C.c_char_p),
+        ("noffs", C.POINTER(C.c_uint32)),
+        ("nflags", C.POINTER(C.c_uint8)),
+        ("npfa", C.POINTER(C.c_uint32)),
+        ("nwords", C.c_int32),
     ]
 
 
@@ -100,6 +119,12 @@ def get_core():
             lib.t4_nest.restype = C.c_int32
             lib.t4_nest.argtypes = [C.POINTER(T4VMStruct),
                                     C.POINTER(C.c_int16), C.c_int32, _CB]
+            if hasattr(lib, "t4_outer"):
+                lib.t4_outer.restype = C.c_int32
+                lib.t4_outer.argtypes = [C.POINTER(T4VMStruct),
+                                         C.POINTER(T4DictStruct),
+                                         C.POINTER(C.c_int16), C.c_int32,
+                                         _CB]
             _core = lib
     return _core
 
@@ -132,22 +157,60 @@ class NativeEngine:
         self.st.rs = vm.rs.buf.ctypes.data_as(C.POINTER(C.c_float))
         self.st.ss_sz = vm.ss.buf.size
         self.st.rs_sz = vm.rs.buf.size
+        self.st.vm_id = vm.id
+        self.st.pmem_sz = vm.pmem.size
         self._table = None
         self._table_len = 0
+        self._table_gen = -1
+        self._dictst = None
+        self._dict_gen = -1
+        self._outer_active = False
         self._cb = _CB(self._callback)
 
     # --- dictionary dispatch table --------------------------------------
     def _ensure_table(self):
         d = self.vm.dict
-        if self._table is not None and self._table_len == len(d):
+        gen = getattr(d, "gen", len(d))
+        if self._table is not None and self._table_gen == gen \
+                and self._table_len == len(d):
             return
         t = np.full(len(d), -1, dtype=np.int16)
         native = getattr(d, "native", {})
         for idx, nid in native.items():
-            t[idx] = nid
+            if idx < len(d):
+                t[idx] = nid
         self._table_np = t
         self._table = t.ctypes.data_as(C.POINTER(C.c_int16))
         self._table_len = len(d)
+        self._table_gen = gen
+
+    def _ensure_dict(self):
+        """name/flags/pfa snapshot for the native outer interpreter"""
+        d = self.vm.dict
+        gen = getattr(d, "gen", None)
+        if self._dictst is not None and self._dict_gen == gen:
+            return
+        blob = bytearray()
+        offs = np.zeros(len(d), dtype=np.uint32)
+        flags = np.zeros(len(d), dtype=np.uint8)
+        pfa = np.zeros(len(d), dtype=np.uint32)
+        for i, c in enumerate(d.words):
+            offs[i] = len(blob)
+            blob += c.name.encode("utf-8", errors="replace") + b"\0"
+            flags[i] = (1 if c.imm else 0) | (2 if c.udf else 0)
+            pfa[i] = c.pfa
+        self._dict_blob = bytes(blob)
+        self._dict_offs = offs
+        self._dict_flags = flags
+        self._dict_pfa = pfa
+        st = T4DictStruct()
+        st.nblob = self._dict_blob
+        st.noffs = offs.ctypes.data_as(C.POINTER(C.c_uint32))
+        st.nflags = flags.ctypes.data_as(C.POINTER(C.c_uint8))
+        st.npfa = pfa.ctypes.data_as(C.POINTER(C.c_uint32))
+        st.nwords = len(d)
+        self._dictst = st
+        self._dict_gen = gen
 
     # --- state marshalling ------------------------------------------------
     def _to_vm(self):
@@ -157,6 +220,10 @@ class NativeEngine:
         vm.ip = self.st.ip
         vm.tos = np.float32(self.st.tos)
         vm.state = self.st.state
+        vm.compile = bool(self.st.compile)
+        vm.pmem.set_here(self.st.here)
+        if self._outer_active:
+            vm.sys._idx = self.st.in_idx
         self._drain_dropped()
 
     def _from_vm(self):
@@ -166,6 +233,13 @@ class NativeEngine:
         self.st.ip = vm.ip
         self.st.tos = float(vm.tos)
         self.st.state = vm.state
+        self.st.compile = 1 if vm.compile else 0
+        self.st.here = vm.pmem.here
+        if self._outer_active:
+            self.st.in_idx = vm.sys._idx
+        self.st.py_flags = ((1 if getattr(vm, "ten_lvl", 0) else 0)
+                            | (2 if getattr(vm.dict, "gen", None)
+                               != self._dict_gen else 0))
 
     def _drain_dropped(self):
         from ..du import u2f
@@ -203,9 +277,15 @@ class NativeEngine:
                 if ZEQ(vm.fpop()):               # resolves deferred scalars
                     vm.ip = p.ioff
         except Exception as ex:                  # surface, don't crash C
-            vm.sys.perr("", f"native-cb error: {ex} ")
+            # mirror ForthVM.parse's word-error contract: report and
+            # keep the REPL alive (QUERY), never hard-stop the VM
+            name = vm.dict[widx].name if 0 <= widx < len(vm.dict) else "?"
+            vm.sys.perr("", f"ERROR in '{name}': {ex} ")
+            if vm.sys.trace:
+                import traceback
+                traceback.print_exc(file=vm.sys.fout)
             from ..vm.vm import VMState
-            vm.state = VMState.STOP
+            vm.state = VMState.QUERY
         self._from_vm()
 
     # --- entry ------------------------------------------------------------------
@@ -217,3 +297,71 @@ class NativeEngine:
         self.lib.t4_nest(C.byref(self.st), self._table,
                          self._table_len, self._cb)
         self._to_vm()
+
+    # --- native outer interpreter -----------------------------------------
+    OUT_DONE, OUT_HOLD, OUT_TOKEN, OUT_REENTER = 0, 1, 2, 3
+
+    def can_outer(self) -> bool:
+        return (hasattr(self.lib, "t4_outer")
+                and self.vm.sys._line.isascii())
+
+    def outer(self):
+        """token loop in C; python handles only the tokens C cannot
+        (immediate-compiled tensor literals, unknown words, python-word
+        side effects that mutate the dictionary)"""
+        from ..vm.vm import VMState
+        vm = self.vm
+        sys_ = vm.sys
+        self._outer_active = True
+        try:
+            while True:
+                if getattr(vm, "ten_lvl", 0):
+                    # tensor literal capture: python token-by-token
+                    idiom = sys_.fetch()
+                    if idiom is None:
+                        break
+                    if not self._py_token(idiom):
+                        break
+                    continue
+                self._ensure_table()
+                self._ensure_dict()
+                lb = sys_._line.encode("ascii")
+                self._line_buf = lb                      # keep alive
+                self.st.in_ = lb
+                self.st.in_len = len(lb)
+                self._from_vm()
+                rc = self.lib.t4_outer(C.byref(self.st),
+                                       C.byref(self._dictst),
+                                       self._table, self._table_len,
+                                       self._cb)
+                self._to_vm()
+                if rc == self.OUT_HOLD:
+                    break
+                if rc == self.OUT_REENTER:
+                    continue
+                if rc == self.OUT_DONE:
+                    break
+                idiom = sys_.fetch()                     # OUT_TOKEN
+                if idiom is None:
+                    break
+                if vm.pre(idiom):
+                    continue
+                if not self._py_token(idiom):
+                    break
+                if vm.state == VMState.HOLD:
+                    break
+        finally:
+            self._outer_active = False
+        vm.post()
+
+    def _py_token(self, idiom: str) -> bool:
+        """one python-side token step (mirrors VM.outer's error path)"""
+        from ..vm.vm import VMState
+        vm = self.vm
+        if not vm.process(idiom):
+            vm.sys.perr(idiom, "? ")
+            vm.sys.clrbuf()
+            vm.compile = False
+            vm.state = VMState.QUERY
+            return False
+        return True

@@ -30,6 +30,8 @@ class Dictionary:
     def __init__(self, pmem: PMem):
         self.pmem = pmem
         self.words: list[Code] = []
+        self.gen = 0              # bumped on every mutation (native
+        #                           outer/inner tables rebuild on change)
 
     def __len__(self):
         return len(self.words)
@@ -39,6 +41,7 @@ class Dictionary:
 
     def add_code(self, name: str, fn, imm: bool = False) -> int:
         self.words.append(Code(name, fn, imm=imm))
+        self.gen += 1
         return len(self.words) - 1
 
     def colon(self, name: str) -> int:
@@ -47,6 +50,7 @@ class Dictionary:
         self.pmem.add_str(name)
         c = Code(name, None, udf=True, pfa=self.pmem.here, nfa=nfa)
         self.words.append(c)
+        self.gen += 1
         return len(self.words) - 1
 
     def find(self, name: str) -> int:
@@ -76,3 +80,4 @@ class Dictionary:
                 self.pmem.set_here(c.nfa)
                 break
         del self.words[i:]
+        self.gen += 1

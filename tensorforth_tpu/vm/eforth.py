@@ -65,6 +65,17 @@ class ForthVM(VM):
         self.nest()
         self.post()
 
+    def outer(self):
+        """native token loop (csrc t4_outer) when available; the pure
+        python loop (VM.outer) remains the fallback/reference path"""
+        if self._engine is None and getattr(self.dict, "native", None):
+            from ..runtime.native import NativeEngine, get_core
+            if get_core() is not None:
+                self._engine = NativeEngine(self)
+        if self._engine is not None and self._engine.can_outer():
+            return self._engine.outer()
+        return super().outer()
+
     def parse(self, idiom: str) -> int:
         w = self.dict.find(idiom)
         if not w:
@@ -291,6 +302,7 @@ class ForthVM(VM):
             widx = self.POPi()
             dst = self.dict[widx]
             dst.fn, dst.udf, dst.pfa = src.fn, src.udf, src.pfa
+            self.dict.gen += 1                   # snapshot tables stale
             native = getattr(self.dict, "native", None)
             if native is not None:
                 # retarget the native dispatch entry to match the alias
