@@ -70,6 +70,21 @@ def tiny_transformer(batch: int = 32, seq: int = 16, dim: int = 32,
     return m
 
 
+def tiny_moe(batch: int = 8, seq: int = 8, dim: int = 16, experts: int = 4,
+             hidden: int = 32, top_k: int = 2, classes: int = 4):
+    """sequence classifier with a mixture-of-experts FFN block
+    (extension tier): [N, S, D, 1] -> attn -> moe -> flatten -> linear
+    softmax; experts shard over 'ep' under T4_MESH=dpX,epY"""
+    m = _new_model(batch, seq, dim, 1)
+    m.add(Layer.ATTN, 4)
+    m.add(Layer.MOE, experts, float(hidden), [top_k])
+    m.add(Layer.TANH)
+    m.add(Layer.FLATTEN)
+    m.add(Layer.LINEAR, classes, 1.0)
+    m.add(Layer.SOFTMAX)
+    return m
+
+
 def cifar_cnn(batch: int = 256):
     """t4_42a M0: conv64+bn+relu+pool / conv128+bn+relu+pool+drop /
     512 linear bn relu drop / 10 linear softmax"""

@@ -206,6 +206,20 @@ def _attn_op_bwd(heads, causal, res, g):
 attn_op.defvjp(_attn_op_fwd, _attn_op_bwd)
 
 
+def _moe_fwd(x, w1aug, w2, top_k: int):
+    """mixture-of-experts FFN layer: x [N,S,D,1]; w1aug [E,D,F+1] packs
+    the experts' w1 [E,D,F] with the router wr [E,D] in the last column
+    (keeps the generic 2-slot layer contract); w2 [E,F,D].
+    Extension layer (reference roadmap README.md:702-720); the expert
+    axis shards over the mesh's 'ep' axis for expert parallelism."""
+    from ..parallel.moe import moe_fwd
+    n, s, d, _ = x.shape
+    f = w1aug.shape[2] - 1
+    y = moe_fwd(x.reshape(n, s, d), w1aug[:, :, f],
+                w1aug[:, :, :f], w2, top_k)
+    return y.reshape(n, s, d, 1)
+
+
 def _batchnorm_fwd(x, gamma, beta):
     """train-mode BN; rvar = 1/(sqrt(pop-var)+eps) (reference k_batchnorm_2)"""
     mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
@@ -248,6 +262,8 @@ def _apply_layer(spec, x, p, key):
     if kind == Layer.ATTN:
         return attn_op(x, p[0], p[1], opts[0],
                        bool(opts[1]) if len(opts) > 1 else False), None
+    if kind == Layer.MOE:
+        return _moe_fwd(x, p[0], p[1], opts[2]), None
     raise ValueError(f"layer kind {kind}")
 
 
@@ -378,6 +394,14 @@ def _bwd_body(program, train, tgt, x0, outs, params, masks, dws, dbs):
                 if train:
                     ndws[j] = ndws[j] + dw
                     ndbs[j] = ndbs[j] + dwo
+            elif kind == Layer.MOE:
+                _, vjp = jax.vjp(
+                    lambda x_, w1, w2: _moe_fwd(x_, w1, w2, opts[2]),
+                    x_in, params[j][0], params[j][1])
+                dx, dw1, dw2 = vjp(dy.reshape(out_shape))
+                if train:
+                    ndws[j] = ndws[j] + dw1
+                    ndbs[j] = ndbs[j] + dw2
             elif kind == Layer.BATCHNM:
                 xhat, rvar = masks[j]
                 gamma = params[j][0]

@@ -126,6 +126,8 @@ class Model:
             self._iup(t_in, int(n), bias)
         elif fn == Layer.ATTN:
             self._iattn(t_in, int(n), bias > 0.5)
+        elif fn == Layer.MOE:
+            self._imoe(t_in, int(n), int(bias), opt or [2])
         else:
             self._err(f"Model#add layer {fn} not supported")
             return self
@@ -246,6 +248,36 @@ class Model:
             self._rand(wo, k)
         self.npush(self._T4(N1, S, E, 1))
 
+    def _imoe(self, t_in: Tensor, experts: int, hidden: int, opt):
+        """mixture-of-experts FFN layer (extension): input [N,S,D,1];
+        the router is PACKED into the weight slot's last column —
+        w1aug [E,D,F+1,1] = experts' w1 [E,D,F] ++ router wr [E,D,1] —
+        and w2 [E,F,D,1] sits in the bias slot, so the layer keeps the
+        generic two-slot (w,b) optimizer/IO contract (same move as the
+        attention layer's packed qkv).  Expert axis E shards over the
+        mesh's model axis ('ep'/'tp') for expert parallelism."""
+        N1, S = t_in.N(), t_in.H()
+        D = t_in.W() * t_in.C()
+        top_k = int(opt[0]) if opt else 2
+        if experts < 1 or hidden < 1 or not (1 <= top_k <= experts):
+            self._err(f"moe E={experts} F={hidden} k={top_k}?")
+            return
+        w1 = self._T4(experts, D, hidden + 1, 1)
+        w2 = self._T4(experts, hidden, D, 1)
+        t_in.grad[0], t_in.grad[1] = w1, w2
+        t_in.grad[2] = self._T4(experts, D, hidden + 1, 1)
+        t_in.grad[3] = self._T4(experts, hidden, D, 1)
+        t_in.iparm = experts
+        t_in.stride = [top_k, hidden, 0, 0]
+        k = math.sqrt(1.0 / (D + hidden))
+        if Config.MM_DEBUG:
+            w1.set_numpy(np.full(w1.numel, 0.5, np.float32))
+            w2.set_numpy(np.full(w2.numel, 0.5, np.float32))
+        else:
+            self._rand(w1, k)
+            self._rand(w2, k)
+        self.npush(self._T4(N1, S, D, 1))
+
     def _iup(self, t_in: Tensor, k: int, method: float):
         if k not in (2, 3):
             self._err(f"upsample k={k}? 2x2 and 3x3 only")
@@ -266,6 +298,8 @@ class Model:
                 opts = (t_in.stride[0], t_in.stride[2])
             elif kind == Layer.ATTN:
                 opts = (t_in.iparm, float(t_in.xparm) > 0.5)
+            elif kind == Layer.MOE:
+                opts = (t_in.iparm, t_in.stride[1], t_in.stride[0])
             elif kind in (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
                           Layer.LEAKYRL, Layer.ELU, Layer.DROPOUT):
                 opts = (float(t_in.xparm),)
@@ -293,6 +327,10 @@ class Model:
                 w, wo = t_in.grad[0], t_in.grad[1]
                 out.append((w.ensure_data().reshape(w.H(), w.W()),
                             wo.ensure_data().reshape(wo.H(), wo.W())))
+            elif kind == Layer.MOE:
+                w1, w2 = t_in.grad[0], t_in.grad[1]
+                out.append((w1.ensure_data().reshape(w1.N(), w1.H(), w1.W()),
+                            w2.ensure_data().reshape(w2.N(), w2.H(), w2.W())))
             else:
                 out.append(())
         return tuple(out)
@@ -445,6 +483,10 @@ class Model:
                 w, wo = t_in.grad[2], t_in.grad[3]
                 dws.append(w.ensure_data().reshape(w.H(), w.W()))
                 dbs.append(wo.ensure_data().reshape(wo.H(), wo.W()))
+            elif kind == Layer.MOE:
+                w1, w2 = t_in.grad[2], t_in.grad[3]
+                dws.append(w1.ensure_data().reshape(w1.N(), w1.H(), w1.W()))
+                dbs.append(w2.ensure_data().reshape(w2.N(), w2.H(), w2.W()))
             elif kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM):
                 dws.append(t_in.grad[2].ensure_data())
                 dbs.append(t_in.grad[3].ensure_data())
@@ -462,7 +504,7 @@ class Model:
         for i in range(self.numel - 1):
             t_in = self[i]
             if t_in.grad_fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
-                                Layer.BATCHNM, Layer.ATTN) \
+                                Layer.BATCHNM, Layer.ATTN, Layer.MOE) \
                     and t_in.grad[0] is not None:
                 out.append((t_in, 0))        # weight slot
                 out.append((t_in, 1))        # bias slot

@@ -56,21 +56,24 @@ def _stage_batches(ds, model, max_batches: int | None = None):
 
 
 def _mesh_from_env():
-    """T4_MESH=dp4,tp2 -> (dp, tp) mesh over available devices"""
+    """T4_MESH=dp4,tp2 -> (dp, tp) mesh; T4_MESH=dp2,ep4 -> (dp, ep)
+    expert-parallel mesh (MoE experts shard, dense layers replicate)"""
     import os
     spec = os.environ.get("T4_MESH")
     if not spec:
         return None
     from ..parallel.mesh import make_mesh
-    dp = tp = None
+    dp = tp = ep = None
     for part in spec.split(","):
         part = part.strip()
         if part.startswith("dp"):
             dp = int(part[2:])
         elif part.startswith("tp"):
             tp = int(part[2:])
-    n = (dp or 1) * (tp or 1)
-    return make_mesh(n, dp=dp, tp=tp)
+        elif part.startswith("ep"):
+            ep = int(part[2:])
+    n = (dp or 1) * (tp or 1) * (ep or 1)
+    return make_mesh(n, dp=dp, tp=tp, ep=ep)
 
 
 _Z1 = None

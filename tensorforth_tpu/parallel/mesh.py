@@ -19,23 +19,26 @@ from ..nn.ntypes import Layer
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None,
-              tp: int | None = None) -> Mesh:
-    """build a (dp, tp) mesh over available devices"""
+              tp: int | None = None, ep: int | None = None) -> Mesh:
+    """build a (dp, tp) mesh — or (dp, ep) when ep is given (expert
+    parallelism: the model axis shards MoE experts instead of features)"""
     devs = jax.devices()
     n = n_devices or len(devs)
-    if dp is None and tp is None:
+    ax2 = "ep" if ep is not None else "tp"
+    m2 = ep if ep is not None else tp
+    if dp is None and m2 is None:
         # favor data parallelism; give tp the largest power-of-2 <= sqrt(n)
-        tp = 1
-        while tp * 2 <= int(math.sqrt(n)) and n % (tp * 2) == 0:
-            tp *= 2
-        dp = n // tp
+        m2 = 1
+        while m2 * 2 <= int(math.sqrt(n)) and n % (m2 * 2) == 0:
+            m2 *= 2
+        dp = n // m2
     elif dp is None:
-        dp = n // tp
-    elif tp is None:
-        tp = n // dp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    grid = np.array(devs[:n]).reshape(dp, tp)
-    return Mesh(grid, ("dp", "tp"))
+        dp = n // m2
+    elif m2 is None:
+        m2 = n // dp
+    assert dp * m2 == n, f"mesh {dp}x{m2} != {n} devices"
+    grid = np.array(devs[:n]).reshape(dp, m2)
+    return Mesh(grid, ("dp", ax2))
 
 
 def shard_batch(mesh: Mesh) -> NamedSharding:
@@ -91,17 +94,34 @@ def _param_spec(kind: int, arr_ndim: int, which: str) -> P:
 
 
 def shard_params(mesh: Mesh, program) -> tuple:
-    """per-layer NamedShardings matching funcs.py param tuples"""
+    """per-layer NamedShardings matching funcs.py param tuples.
+    On a (dp, tp) mesh features shard over 'tp'; on a (dp, ep) mesh only
+    MoE expert axes shard (over 'ep') and dense layers replicate."""
+    has_tp = "tp" in mesh.axis_names
+    model_ax = "tp" if has_tp else "ep"
     out = []
     for kind, _opts, _shape in program:
         if kind in (Layer.CONV, Layer.DCONV, Layer.LINEAR):
-            out.append((NamedSharding(mesh, _param_spec(kind, 2, "w")),
-                        NamedSharding(mesh, _param_spec(kind, 1, "b"))))
+            if has_tp:
+                out.append((NamedSharding(mesh, _param_spec(kind, 2, "w")),
+                            NamedSharding(mesh, _param_spec(kind, 1, "b"))))
+            else:
+                out.append((NamedSharding(mesh, P()),
+                            NamedSharding(mesh, P())))
         elif kind == Layer.ATTN:
             # wqkv [3E, E] row-sharded (heads split over 'tp'),
             # wo [E, E] column-sharded (contracts the head outputs)
-            out.append((NamedSharding(mesh, P("tp", None)),
-                        NamedSharding(mesh, P(None, "tp"))))
+            if has_tp:
+                out.append((NamedSharding(mesh, P("tp", None)),
+                            NamedSharding(mesh, P(None, "tp"))))
+            else:
+                out.append((NamedSharding(mesh, P()),
+                            NamedSharding(mesh, P())))
+        elif kind == Layer.MOE:
+            # w1aug [E, D, F+1] / w2 [E, F, D]: experts over the model
+            # axis — expert parallelism (each device holds E/ep experts)
+            out.append((NamedSharding(mesh, P(model_ax, None, None)),
+                        NamedSharding(mesh, P(model_ax, None, None))))
         elif kind == Layer.BATCHNM:
             out.append((NamedSharding(mesh, P()), NamedSharding(mesh, P())))
         else:

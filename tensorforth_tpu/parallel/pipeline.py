@@ -92,3 +92,185 @@ def pipeline_loss_fn(stage_fn, head_fn, mesh, n_stages):
         return head_fn(head_params, h, y_micro)
 
     return loss
+
+
+# ===========================================================================
+# product path: `nn.pipe` word — train a repeated-block model over 'pp'
+# ===========================================================================
+def split_stages(program, params, stages: int):
+    """(stem, block) split: program = stem ++ stages*block ++ head,
+    where the `stages` body blocks are identical (same kinds/opts/param
+    shapes).  stem/head replicate; the body pipelines over 'pp'.
+    Raises if the model has no such structure."""
+    L = len(program)
+    for stem in range(0, L - stages + 1):
+        best = 0
+        for blk in range(1, (L - stem) // stages + 1):
+            b = blk * stages
+            ok = all(program[stem + i][:2]
+                     == program[stem + i % blk][:2] for i in range(b))
+            if ok:
+                ok = all(tuple(w.shape for w in params[stem + i])
+                         == tuple(w.shape for w in params[stem + i % blk])
+                         for i in range(b))
+            if ok:
+                best = blk
+        if best:
+            return stem, best
+    raise ValueError(
+        f"nn.pipe: model body is not {stages} repeated blocks")
+
+
+def _rebatch(spec, mb: int):
+    kind, opts, shape = spec
+    return (kind, opts, (mb,) + tuple(shape[1:]))
+
+
+def train_pipeline(model, ds, lr: float, epochs: int, stages: int,
+                   trace: int = 0) -> float:
+    """fused pipeline-parallel training behind the `nn.pipe` word:
+    the model's repeated body runs GPipe-style over a 'pp' mesh axis
+    (microbatches circulate on ICI via ppermute), the head replicates,
+    grads come from jax.grad through the differentiable pipeline, and
+    the update is the reference's uncorrected Adam.  Trained params are
+    written back into the interpreter's model (table-driven)."""
+    import numpy as np  # noqa: F401
+    from ..nn import funcs
+    from ..nn.train import (_stage_batches, write_back, ADAM_B1, ADAM_B2,
+                            ADAM_EPS)
+
+    program = model._program()
+    params = model._params()
+    stem, blk = split_stages(program, params, stages)
+    body_n = stem + blk * stages
+    batch = model[0].N()
+    n_micro = stages * 2 if batch % (stages * 2) == 0 else stages
+    if batch % n_micro:
+        raise ValueError(f"nn.pipe: batch {batch} not divisible into "
+                         f"{n_micro} microbatches")
+    mb = batch // n_micro
+
+    stem_prog = tuple(program[:stem])
+    block_prog = tuple(_rebatch(program[stem + i], mb) for i in range(blk))
+    head_prog = tuple(program[body_n:])
+    # stack per-stage params: [stages, ...] leaves, sharded over 'pp'
+    stacked = tuple(
+        tuple(jnp.stack([params[stem + s * blk + i][k]
+                         for s in range(stages)])
+              for k in range(len(params[stem + i])))
+        for i in range(blk))
+    stem_params = tuple(params[:stem])
+    head_params = tuple(params[body_n:])
+
+    mesh = make_pp_mesh(stages)
+    psh = NamedSharding(mesh, P("pp"))
+    stacked = jax.tree.map(lambda a: jax.device_put(a, psh), stacked)
+
+    key0 = jax.random.PRNGKey(0)
+
+    def stem_fn(sp, x):
+        for j, spec in enumerate(stem_prog):
+            x, _ = funcs._apply_layer(spec, x, sp[j],
+                                      jax.random.fold_in(key0, 500 + j))
+            x = x.reshape(spec[2])
+        return x
+
+    def stage_fn(p, x):
+        for i, spec in enumerate(block_prog):
+            x, _ = funcs._apply_layer(spec, x, p[i],
+                                      jax.random.fold_in(key0, i))
+            x = x.reshape(spec[2])
+        return x
+
+    def head_fn(hp, h, hot):
+        x = h.reshape((batch,) + tuple(program[body_n - 1][2][1:]))
+        for j, spec in enumerate(head_prog):
+            x, _ = funcs._apply_layer(spec, x, hp[j],
+                                      jax.random.fold_in(key0, 99 + j))
+            x = x.reshape(spec[2])
+        n = x.shape[0]
+        return -jnp.sum(hot.reshape(-1)
+                        * jnp.log(jnp.maximum(x.reshape(-1),
+                                              funcs.LN_CLAMP))) / n
+
+    pipe = pipeline_apply(stage_fn, mesh, stages)
+
+    def loss_fn(st, sp, hp, x, hot):
+        h0 = stem_fn(sp, x)
+        x_micro = h0.reshape((n_micro, mb) + tuple(h0.shape[1:]))
+        h = pipe(st, x_micro)
+        return head_fn(hp, h, hot)
+
+    lr_ = jnp.float32(lr)
+
+    def adam(p, g, m, v):
+        m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
+        v = ADAM_B2 * v + (1.0 - ADAM_B2) * g * g
+        return p - lr_ * m / (jnp.sqrt(v) + ADAM_EPS), m, v
+
+    x, y, n_batches = _stage_batches(ds, model)
+
+    def zeros(t):
+        return jax.tree.map(jnp.zeros_like, t)
+
+    # tree.map(adam, ...) maps over 3 trees; restructure: run manually
+    def adam_tree(p, g, m, v):
+        flat_p, td = jax.tree.flatten(p)
+        flat_g = jax.tree.leaves(g)
+        flat_m = jax.tree.leaves(m)
+        flat_v = jax.tree.leaves(v)
+        out_p, out_m, out_v = [], [], []
+        for pw, gw, mw, vw in zip(flat_p, flat_g, flat_m, flat_v):
+            nw, nm, nv = adam(pw, gw, mw, vw)
+            out_p.append(nw)
+            out_m.append(nm)
+            out_v.append(nv)
+        return (jax.tree.unflatten(td, out_p),
+                jax.tree.unflatten(td, out_m),
+                jax.tree.unflatten(td, out_v))
+
+    opt = (zeros(stacked), zeros(stacked),
+           zeros(stem_params), zeros(stem_params),
+           zeros(head_params), zeros(head_params))
+
+    @jax.jit
+    def epoch(stacked, stem_params, head_params, opt, xs, ys):
+        def body(carry, xy):
+            st, sp, hp, (m1, v1, m0, v0, m2, v2) = carry
+            x, hot = xy
+            lval, (gs, gp, gh) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2))(st, sp, hp, x, hot)
+            st, m1, v1 = adam_tree(st, gs, m1, v1)
+            sp, m0, v0 = adam_tree(sp, gp, m0, v0)
+            hp, m2, v2 = adam_tree(hp, gh, m2, v2)
+            return (st, sp, hp, (m1, v1, m0, v0, m2, v2)), lval
+        (st, sp, hp, opt), ls = jax.lax.scan(
+            body, (stacked, stem_params, head_params, opt), (xs, ys))
+        return st, sp, hp, opt, ls.mean()
+
+    lv = jnp.float32(0)
+    for e in range(epochs):
+        stacked, stem_params, head_params, opt, lv = epoch(
+            stacked, stem_params, head_params, opt, x, y)
+        if trace:
+            from ..system import System
+            System.get_sys().pstr(
+                f"\\   nn.pipe epoch {e}: {n_batches} batches over "
+                f"pp{stages}, loss={float(lv):.6g}\n")
+    loss = float(lv)
+
+    # un-stack trained params back into the interpreter's model
+    full = list(params)
+    for j, sp in enumerate(stem_params):
+        full[j] = sp
+    for i in range(blk):
+        for s in range(stages):
+            full[stem + s * blk + i] = tuple(
+                jax.device_get(stacked[i][k])[s]
+                for k in range(len(stacked[i])))
+    for j, hp in enumerate(head_params):
+        full[body_n + j] = hp
+    write_back(model, tuple(full))
+    model.tick()
+    model._iter += n_batches * epochs
+    return loss

@@ -342,6 +342,23 @@ class NetVM(TensorVM):
             else:
                 vm.sys.perr("", "( M [causal] heads -- ) for nn.attn! ")
         CODE("nn.attn", _attn)
+        def _moe(vm):
+            """( M [k] F E -- M' ) mixture-of-experts FFN layer: E
+            experts with hidden dim F, soft top-k routing (default k=2)
+            over the model's [N, S, D, 1] activations.  Expert axis
+            shards over the mesh's 'ep'/'tp' axis under T4_MESH
+            (extension word; see nn/funcs.py _moe_fwd)."""
+            if (vm.ss.size() > 2 and vm.IS_M(vm.ss[-3])
+                    and not IS_OBJ(vm.ss[-2]) and not IS_OBJ(vm.ss[-1])
+                    and not IS_OBJ(vm.tos)):
+                e = vm.POPi(); f = vm.POPi(); k = vm.POPi()
+                vm.MTOS().add(Layer.MOE, e, float(f), [k])
+            elif vm.M2V():
+                e = vm.POPi(); f = vm.POPi()
+                vm.MTOS().add(Layer.MOE, e, float(f), [2])
+            else:
+                vm.sys.perr("", "( M [k] F E -- ) for nn.moe! ")
+        CODE("nn.moe", _moe)
         CODE("maxpool",  lambda vm: vm._nnop(Layer.MAXPOOL))
         CODE("avgpool",  lambda vm: vm._nnop(Layer.AVGPOOL))
         CODE("minpool",  lambda vm: vm._nnop(Layer.MINPOOL))
@@ -537,6 +554,29 @@ class NetVM(TensorVM):
             vm.sys.pstr(f"\\ nn.train {epochs} epochs done, "
                         f"final loss={loss:.6g}\n")
         CODE("nn.train", _nn_train)
+        def _nn_pipe(vm):
+            """( M D lr epochs stages -- M ) extension word: pipeline-
+            parallel training — the model's repeated body (e.g. stacked
+            nn.attn blocks) runs GPipe-style over a 'pp' mesh axis with
+            microbatches circulating on ICI; the head replicates.
+            Requires `stages` devices and a body of `stages` identical
+            blocks (parallel/pipeline.py train_pipeline)."""
+            if not (vm.ss.size() > 3 and vm.IS_M(vm.ss[-4])):
+                vm.sys.perr("", "M D lr epochs stages nn.pipe? ")
+                return
+            stages = vm.POPi()
+            epochs = vm.POPi()
+            lr = float(vm.POP())
+            dsv = vm.POP()
+            ds = vm.mmu.du2obj(dsv)
+            m = vm.MTOS()
+            from ..parallel.pipeline import train_pipeline
+            loss = train_pipeline(m, ds, lr=lr, epochs=epochs,
+                                  stages=stages, trace=vm.sys.trace)
+            vm.DROP_DU(dsv)
+            vm.sys.pstr(f"\\ nn.pipe {epochs} epochs over pp{stages} done, "
+                        f"final loss={loss:.6g}\n")
+        CODE("nn.pipe", _nn_pipe)
         # --- overrides ------------------------------------------------------------------------------------------
         CODE("boot", lambda vm: vm.dict.clear(vm.dict.find("network") + 1))
         CODE("flatten", lambda vm: vm._nnop(Layer.FLATTEN))
