@@ -178,4 +178,7 @@ class System:
         self.fout.write(s.rjust(int(width)))
 
     def flush(self):
+        """drain deferred host ops (reference sys->flush), then stdout"""
+        if self.tb is not None:
+            self.tb.flush()
         self.fout.flush()

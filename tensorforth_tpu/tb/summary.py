@@ -2,6 +2,12 @@
 
 Reference: tb/summary.{h,cpp}: run-dir management, scalar/text/image/
 tile/histo/graph/embed, model-graph op-name mapping.
+
+Host-op deferral (reference ostream.h event queue, sys.cpp flush): every
+public method captures an immutable snapshot (jax arrays are immutable —
+holding the reference IS the snapshot) and posts the encode+write work
+to the io.equeue worker, so TB IO overlaps device compute.  A single
+FIFO worker preserves record ordering; `close`/`flush` join the queue.
 """
 from __future__ import annotations
 
@@ -11,12 +17,12 @@ import numpy as np
 
 from .writer import EventWriter
 from .projector import Projector
+from ..io.equeue import EventQueue
 
 
-def _tile_pixels(t, n_per_row: int) -> np.ndarray:
-    """N images -> bordered grid, mean/std auto-scaled RGB
+def _tile_pixels(d: np.ndarray, n_per_row: int) -> np.ndarray:
+    """N images [N,H,W,C] -> bordered grid, mean/std auto-scaled RGB
     (reference Summary::tile / AIO::t2png scaling)"""
-    d = t.numpy().reshape(t.N(), t.H(), t.W(), t.C())
     N, H, W, C = d.shape
     mean, std = float(d.mean()), float(d.std())
     scale = 64.0 / std if std > 1e-6 else 64.0
@@ -42,6 +48,12 @@ _TF_OPS = {
 }
 
 
+def _snap(t):
+    """immutable device snapshot + NHWC shape of a Tensor object
+    (captured at post time — later replace_data on t cannot race)"""
+    return t.ensure_data(), (t.N(), t.H(), t.W(), t.C())
+
+
 class Summary:
     def __init__(self, logdir: str, run_id: str | None = None):
         self.logdir = logdir
@@ -49,11 +61,15 @@ class Summary:
         self.path = os.path.join(logdir, run_id) if run_id else logdir
         self._w: EventWriter | None = None
         self._proj: Projector | None = None
+        self._q = EventQueue()
 
     def _writer(self) -> EventWriter:
         if self._w is None:
             self._w = EventWriter(self.logdir, self.run_id)
         return self._w
+
+    def flush(self):
+        self._q.flush()
 
     def init(self, tag: str):
         """re-point to a new run directory (.tbinit word)"""
@@ -62,31 +78,44 @@ class Summary:
         self.path = os.path.join(self.logdir, tag)
 
     def set_step(self, i: int):
-        self._writer().step = int(i)
+        self._q.post(lambda: setattr(self._writer(), "step", int(i)))
 
     def scalar(self, tag: str, v: float):
-        self._writer().add_scalar(tag, v)
+        self._q.post(lambda: self._writer().add_scalar(tag, v))
 
     def text(self, tag: str, txt: str):
-        self._writer().add_text(tag, txt)
+        self._q.post(lambda: self._writer().add_text(tag, txt))
 
     def image(self, tag: str, t):
-        from .png import raw2png
-        px = _tile_pixels(t, 1)
-        self._writer().add_image(tag, raw2png(px), px.shape[0], px.shape[1])
+        d, shape = _snap(t)
+
+        def work():
+            from .png import raw2png
+            px = _tile_pixels(np.asarray(d, np.float32).reshape(shape), 1)
+            self._writer().add_image(tag, raw2png(px), px.shape[0],
+                                     px.shape[1])
+        self._q.post(work)
 
     def tile(self, tag: str, t, n_per_row: int):
-        from .png import raw2png
-        px = _tile_pixels(t, max(1, int(n_per_row)))
-        self._writer().add_image(tag, raw2png(px), px.shape[0], px.shape[1])
+        d, shape = _snap(t)
+
+        def work():
+            from .png import raw2png
+            px = _tile_pixels(np.asarray(d, np.float32).reshape(shape),
+                              max(1, int(n_per_row)))
+            self._writer().add_image(tag, raw2png(px), px.shape[0],
+                                     px.shape[1])
+        self._q.post(work)
 
     def histo(self, tag: str, t, bins: int):
-        self._writer().add_histo(tag, t.numpy(), max(1, int(bins)))
+        d = t.ensure_data()
+        self._q.post(lambda: self._writer().add_histo(
+            tag, np.asarray(d, np.float32), max(1, int(bins))))
 
     def graph(self, m):
         if m is None or not m.is_model():
             return
-        nodes = []
+        nodes = []                      # snapshot topology at post time
         prev = "input"
         nodes.append(("input", "Placeholder", []))
         for i in range(m.numel - 1):
@@ -94,12 +123,18 @@ class Summary:
             name = f"layer{i}_{_TF_OPS.get(fn, 'Identity')}"
             nodes.append((name, _TF_OPS.get(fn, "Identity"), [prev]))
             prev = name
-        self._writer().add_graph(nodes)
+        self._q.post(lambda: self._writer().add_graph(nodes))
 
     def embed(self, tag: str, t):
-        if self._proj is None:
-            self._proj = Projector(self.path)
-        self._proj.add_embedding(tag, t.numpy().reshape(t.N(), -1))
+        d = t.ensure_data()
+        n = t.N()
+
+        def work():
+            if self._proj is None:
+                self._proj = Projector(self.path)
+            self._proj.add_embedding(
+                tag, np.asarray(d, np.float32).reshape(n, -1))
+        self._q.post(work)
 
     def hparam(self, name: str, value):
         """record a hyperparameter for the HParams dashboard (the
@@ -120,6 +155,7 @@ class Summary:
         self._hparams = {}
 
     def close(self):
+        self._q.flush()
         if self._w:
             self._flush_hparams()
             self._w.close()

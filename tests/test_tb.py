@@ -129,6 +129,38 @@ def test_tb_words_write_events(t4, tmp_path):
     assert any("tfevents" in f for f in files)
 
 
+def test_deferred_queue_matches_sync(t4, tmp_path, monkeypatch):
+    """the async event queue (reference ostream.h deferral) must produce
+    the same records in the same order as the synchronous path"""
+    from tensorforth_tpu.tb.summary import Summary
+
+    def drive(run):
+        t4.sys.tb = Summary(str(tmp_path), run)
+        t4.forth("1 .tbstep")
+        t4.forth('0.25 s" q/loss" .scalar')
+        t4.forth("2 .tbstep")
+        t4.forth('0.125 s" q/loss" .scalar')
+        t4.forth('2 2 matrix ones 1 s" q/img" .tile')
+        t4.sys.tb.close()
+        d = tmp_path / run
+        f = [x for x in os.listdir(d) if "tfevents" in x][0]
+        recs = _read_records(str(d / f))
+        # strip the wall_time field (field 1, fixed64) from each Event
+        out = []
+        for r in recs:
+            fields = {k: v for k, v in _parse_fields(r).items() if k != 1}
+            out.append(fields)
+        return out
+
+    sync = None
+    async_ = None
+    monkeypatch.setenv("T4_SYNC_IO", "1")
+    sync = drive("sync")
+    monkeypatch.delenv("T4_SYNC_IO")
+    async_ = drive("async")
+    assert sync == async_, "deferred queue changed record content/order"
+
+
 def test_projector(t4, tmp_path):
     from tensorforth_tpu.tb.summary import Summary
     t4.sys.tb = Summary(str(tmp_path), "re")
