@@ -21,7 +21,14 @@ import jax.numpy as jnp
 
 @jax.jit
 def inverse(a):
-    return jnp.linalg.inv(a)
+    """f32 inverse + one Newton-Schulz refinement step: X' = X(2I - AX).
+    Recovers the couple of ulps a blocked f32 LU loses, so `inverse @`
+    round-trips print as the identity like the reference's Gauss-Jordan
+    (acceptance bar: values within 1e-5 of the CUDA build)."""
+    x = jnp.linalg.inv(a)
+    k = a.shape[-1]
+    eye2 = 2.0 * jnp.eye(k, dtype=jnp.float32)
+    return x @ (eye2 - a @ x)
 
 
 @jax.jit
@@ -59,4 +66,8 @@ def det(a) -> float:
 
 @jax.jit
 def solve(a, b):
-    return jnp.linalg.solve(a, b)
+    """f32 solve + one iterative-refinement step (x += A\\(b - Ax)):
+    integer-exact systems print as integers, matching the reference"""
+    x = jnp.linalg.solve(a, b)
+    r = b - a @ x
+    return x + jnp.linalg.solve(a, r)
