@@ -37,6 +37,13 @@ struct Block {                            // boundary-tag header
 };
 
 static const int MAX_BLOCKS = 1 << 16;
+static const int HASH_BITS  = 17;         // 2x MAX_BLOCKS: low load factor
+static const int HASH_SZ    = 1 << HASH_BITS;
+
+struct HEnt {                             // offset -> allocated block idx
+    uint64_t off;
+    int32_t  bi;                          // -1 empty, -2 tombstone
+};
 
 struct Arena {
     uint64_t size;
@@ -50,9 +57,34 @@ struct Arena {
     int32_t  fl[L1_MAX][L2_SLOTS];        // free lists (block index or -1)
     uint32_t l1_map;
     uint32_t l2_map[L1_MAX];
+    HEnt     h[HASH_SZ];                  // O(1) free (boundary-tag analog)
 };
 
 static Arena A;
+
+static inline uint32_t hsh(uint64_t off) {
+    return (uint32_t)((off >> 3) * 2654435761u) & (HASH_SZ - 1);
+}
+
+static void h_insert(uint64_t off, int32_t bi) {
+    uint32_t i = hsh(off);
+    while (A.h[i].bi >= 0) i = (i + 1) & (HASH_SZ - 1);
+    A.h[i].off = off;
+    A.h[i].bi = bi;
+}
+
+static int32_t h_take(uint64_t off) {     // lookup + delete
+    uint32_t i = hsh(off);
+    while (A.h[i].bi != -1) {
+        if (A.h[i].bi >= 0 && A.h[i].off == off) {
+            int32_t b = A.h[i].bi;
+            A.h[i].bi = -2;               // tombstone
+            return b;
+        }
+        i = (i + 1) & (HASH_SZ - 1);
+    }
+    return -1;
+}
 
 static inline int fls64(uint64_t v) {
     int r = -1;
@@ -119,6 +151,8 @@ int32_t t4_tlsf_init(uint64_t size) {
     for (int i = 0; i < L1_MAX; i++)
         for (int j = 0; j < L2_SLOTS; j++)
             A.fl[i][j] = -1;
+    for (int i = 0; i < HASH_SZ; i++)
+        A.h[i].bi = -1;
     int s = slot_alloc();
     A.blk[s].off = 0;
     A.blk[s].size = size;
@@ -165,18 +199,12 @@ uint64_t t4_tlsf_malloc(uint64_t req) {
     A.used_bytes += A.blk[bi].size;
     if (A.used_bytes > A.peak_bytes) A.peak_bytes = A.used_bytes;
     A.n_alloc++;
+    h_insert(A.blk[bi].off, bi);          // O(1) free lookup
     return A.blk[bi].off;
 }
 
-static int find_block(uint64_t off) {
-    for (int i = 0; i < A.nblk; i++)
-        if (A.blk[i].used && !A.blk[i].free && A.blk[i].off == off)
-            return i;
-    return -1;
-}
-
 int32_t t4_tlsf_free(uint64_t off) {
-    int bi = find_block(off);
+    int bi = h_take(off);                 // O(1) — was an O(n) scan
     if (bi < 0) return -1;
     A.used_bytes -= A.blk[bi].size;
     A.n_free++;

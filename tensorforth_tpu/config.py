@@ -19,8 +19,15 @@ class Config:
     PMEM_SZ  = 1 << 16     # parameter memory bytes  (T4_PMEM_SZ=48K; we round to 64K)
     NET_SZ   = 128         # max layers per model    (T4_NET_SZ)
     TFREE_SZ = 1024        # deferred-free list size (T4_TFREE_SZ)
-    OSTORE_SZ = 2 << 30    # object-store arena size (T4_OSTORE_SZ, accounting only)
+    OSTORE_SZ = int(os.environ.get("T4_OSTORE_SZ",
+                                   2 << 30))  # object-store arena bytes
     IBUF_SZ  = 1 << 16     # terminal input buffer
+
+    # --- HBM arena ownership: T4_ARENA=1 backs tensor payloads with ONE
+    # preallocated device pool sub-allocated by the native TLSF
+    # (reference mmu.cu:37-53 managed-arena model); default off keeps
+    # payloads as free-standing XLA buffers (best for jit/sharding)
+    ARENA = bool(int(os.environ.get("T4_ARENA", "0")))
 
     # --- numerics
     DU_EPS = 1.0e-6        # epsilon compare (reference ten4_types.h:85)

