@@ -70,6 +70,11 @@ def _layer_forth(t_in, t_out) -> str:
         return f"{g(t_in.xparm)} batchnorm"
     if fn == Layer.USAMPLE:
         return f"{t_in.stride[0]} upsample"
+    if fn == Layer.ATTN:
+        causal = "1 " if float(t_in.xparm) > 0.5 else ""
+        return f"{causal}{t_in.iparm} nn.attn"
+    if fn == Layer.MOE:
+        return f"{t_in.stride[0]} {t_in.stride[1]} {t_in.iparm} nn.moe"
     return ""
 
 
@@ -77,7 +82,8 @@ def _param_layers(m):
     for i in range(m.numel - 1):
         t_in = m[i]
         fn = t_in.grad_fn
-        if fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR):
+        if fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
+                  Layer.ATTN, Layer.MOE):
             yield t_in, ("w", "b")
         elif fn == Layer.BATCHNM:
             yield t_in, ("w",)

@@ -308,10 +308,15 @@ class NativeEngine:
     def outer(self):
         """token loop in C; python handles only the tokens C cannot
         (immediate-compiled tensor literals, unknown words, python-word
-        side effects that mutate the dictionary)"""
+        side effects that mutate the dictionary).  Re-entrant: words
+        like `load` interpret sub-lines through a nested outer() — the
+        engine struct's input-buffer state is saved and restored so the
+        suspended C loop resumes on its own line."""
         from ..vm.vm import VMState
         vm = self.vm
         sys_ = vm.sys
+        prev_state = (getattr(self, "_line_buf", None), self.st.in_,
+                      self.st.in_len, self._outer_active)
         self._outer_active = True
         try:
             while True:
@@ -351,7 +356,8 @@ class NativeEngine:
                 if vm.state == VMState.HOLD:
                     break
         finally:
-            self._outer_active = False
+            (self._line_buf, self.st.in_, self.st.in_len,
+             self._outer_active) = prev_state
         vm.post()
 
     def _py_token(self, idiom: str) -> bool:

@@ -175,6 +175,27 @@ pmdl batchsize dataset mnist_train constant pds""")
     assert "nn.pipe?" in out    # missing dataset -> usage error, REPL alive
 
 
+def test_attn_moe_save_load_roundtrip(t4, tmp_path):
+    """save/load must persist attention and MoE layers + params
+    (the r1 silent-loss class extended to the new layer kinds)"""
+    p = tmp_path / "tm.t4"
+    t4.forth("""0 trace
+4 8 16 1 nn.model
+4 nn.attn 2 32 4 nn.moe tanh flatten 4 linear softmax
+constant svm""")
+    w0 = float(t4.forth("svm 0 nn.w sum . cr drop").strip().split()[0])
+    m0 = float(t4.forth("svm 1 nn.w sum . cr drop").strip().split()[0])
+    t4.forth(f's" {p}" svm swap save drop' if False
+             else f'svm s" {p}" save drop')
+    out = t4.forth(f"""4 8 16 1 nn.model constant ldm
+ldm s" {p}" load network""")
+    assert "attn" in out and "moe" in out, f"layers not rebuilt: {out}"
+    w1 = float(t4.forth("ldm 0 nn.w sum . cr drop").strip().split()[0])
+    m1 = float(t4.forth("ldm 1 nn.w sum . cr drop").strip().split()[0])
+    assert abs(w0 - w1) < 1e-4, "attention params not persisted"
+    assert abs(m0 - m1) < 1e-4, "moe params not persisted"
+
+
 def test_split_stages_rejects_non_repeated(t4):
     from tensorforth_tpu.models import mnist_cnn
     from tensorforth_tpu.parallel.pipeline import split_stages
