@@ -22,9 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_GEMM_GFLOPS = 2.0 * 1024 ** 3 / 3.2e-3 / 1e9        # 671.1
 
 
-def bench_gemm(n_iter: int = 512, size: int = 1024) -> float:
-    # n_iter sized so device time >> tunnel RTT (~25 ms): 512 x 2.1 GFLOP
-    # is ~1.1 TFLOP, tens of ms even at full MXU rate.
+def bench_gemm(n_iter: int = 8192, size: int = 1024) -> float:
+    # n_iter sized so device time >> the ~25 ms tunnel readback RTT:
+    # 8192 x 2.1 GFLOP = 17.6 TFLOP = ~100 ms at MXU rate, so the RTT
+    # distorts the reported rate by <25% (r1's n_iter=512 numbers were
+    # RTT-dominated and ~5x understated).
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -65,11 +67,22 @@ def bench_gemm(n_iter: int = 512, size: int = 1024) -> float:
         x, _ = jax.lax.scan(body, x, None, length=n_iter)
         return x
 
+    @jax.jit
+    def chain_pallas4(a, x):
+        def body(x, _):                       # gemm4: fused-scale hybrid
+            return mm_pallas(a, x, 4, scale=float(1.0 / size)), None
+        x, _ = jax.lax.scan(body, x, None, length=n_iter)
+        return x
+
     try:
-        gf_pal = timed(chain_pallas, tag="pallas")
+        gf_pal = timed(chain_pallas, tag="pallas f32-strict (gemm3)")
     except Exception:
         gf_pal = 0.0
-    return gf_xla, gf_pal
+    try:
+        gf_pal4 = timed(chain_pallas4, tag="pallas hybrid (gemm4)")
+    except Exception:
+        gf_pal4 = 0.0
+    return gf_xla, max(gf_pal, gf_pal4)
 
 
 def bench_mnist(n_steps: int = 30, batch: int = 100):
