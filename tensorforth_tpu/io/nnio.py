@@ -26,10 +26,21 @@ from ..config import Config
 from ..nn.ntypes import Layer
 
 
+def _fnum(v) -> str:
+    """Forth-parseable float: the number parser (like the reference's,
+    eforth.cpp:457-471) requires a '.' and takes no exponent notation"""
+    s = f"{float(v):g}"
+    if "e" in s or "E" in s:
+        s = f"{float(v):.12f}".rstrip("0")
+        if s.endswith("."):
+            s += "0"
+    return s
+
+
 def _layer_forth(t_in, t_out) -> str:
     """one replayable Forth line for a configured layer"""
     fn = t_in.grad_fn
-    g = lambda v: f"{float(v):g}"
+    g = _fnum
     if fn in (Layer.CONV, Layer.DCONV):
         K, S, P = t_in.grad[0].H(), t_in.stride[0], t_in.stride[2]
         word = "dconv2d" if fn == Layer.DCONV else (
@@ -75,6 +86,8 @@ def _layer_forth(t_in, t_out) -> str:
         return f"{causal}{t_in.iparm} nn.attn"
     if fn == Layer.MOE:
         return f"{t_in.stride[0]} {t_in.stride[1]} {t_in.iparm} nn.moe"
+    if fn == Layer.LNORM:
+        return f"{g(t_in.xparm)} layernorm"
     return ""
 
 
@@ -83,7 +96,7 @@ def _param_layers(m):
         t_in = m[i]
         fn = t_in.grad_fn
         if fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
-                  Layer.ATTN, Layer.MOE):
+                  Layer.ATTN, Layer.MOE, Layer.LNORM):
             yield t_in, ("w", "b")
         elif fn == Layer.BATCHNM:
             yield t_in, ("w",)

@@ -220,6 +220,18 @@ def _moe_fwd(x, w1aug, w2, top_k: int):
     return y.reshape(n, s, d, 1)
 
 
+def _lnorm_fwd(x, gamma, beta, eps: float):
+    """layer normalization over the feature axis (W*C) per (N, H)
+    position: x [N,H,W,C] -> same shape (extension layer — the
+    transformer-tier norm; gamma/beta [W*C])"""
+    n, h, w, c = x.shape
+    f = x.reshape(n, h, w * c)
+    mean = jnp.mean(f, axis=-1, keepdims=True)
+    var = jnp.mean((f - mean) ** 2, axis=-1, keepdims=True)
+    xhat = (f - mean) / jnp.sqrt(var + eps)
+    return (xhat * gamma + beta).reshape(x.shape)
+
+
 def _batchnorm_fwd(x, gamma, beta):
     """train-mode BN; rvar = 1/(sqrt(pop-var)+eps) (reference k_batchnorm_2)"""
     mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
@@ -264,6 +276,8 @@ def _apply_layer(spec, x, p, key):
                        bool(opts[1]) if len(opts) > 1 else False), None
     if kind == Layer.MOE:
         return _moe_fwd(x, p[0], p[1], opts[2]), None
+    if kind == Layer.LNORM:
+        return _lnorm_fwd(x, p[0], p[1], opts[0]), None
     raise ValueError(f"layer kind {kind}")
 
 
@@ -402,6 +416,14 @@ def _bwd_body(program, train, tgt, x0, outs, params, masks, dws, dbs):
                 if train:
                     ndws[j] = ndws[j] + dw1
                     ndbs[j] = ndbs[j] + dw2
+            elif kind == Layer.LNORM:
+                _, vjp = jax.vjp(
+                    lambda x_, g_, b_: _lnorm_fwd(x_, g_, b_, opts[0]),
+                    x_in, params[j][0], params[j][1])
+                dx, dg, db = vjp(dy.reshape(out_shape))
+                if train:
+                    ndws[j] = ndws[j] + dg
+                    ndbs[j] = ndbs[j] + db
             elif kind == Layer.BATCHNM:
                 xhat, rvar = masks[j]
                 gamma = params[j][0]

@@ -128,6 +128,8 @@ class Model:
             self._iattn(t_in, int(n), bias > 0.5)
         elif fn == Layer.MOE:
             self._imoe(t_in, int(n), int(bias), opt or [2])
+        elif fn == Layer.LNORM:
+            self._ilnorm(t_in, bias)
         else:
             self._err(f"Model#add layer {fn} not supported")
             return self
@@ -278,6 +280,20 @@ class Model:
             self._rand(w2, k)
         self.npush(self._T4(N1, S, D, 1))
 
+    def _ilnorm(self, t_in: Tensor, eps: float):
+        """layer normalization (extension): per-sample over the feature
+        axis (W*C), learnable gamma/beta — the transformer-tier norm the
+        reference's roadmap implies (README.md:702-720)"""
+        E = t_in.W() * t_in.C()
+        g = self._T4(E)
+        g.set_numpy(np.ones(E, np.float32))
+        t_in.grad[0] = g
+        t_in.grad[1] = self._T4(E)
+        t_in.grad[2] = self._T4(E)
+        t_in.grad[3] = self._T4(E)
+        t_in.xparm = eps if eps > 0.0 else 1.0e-5
+        self.npush(self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C()))
+
     def _iup(self, t_in: Tensor, k: int, method: float):
         if k not in (2, 3):
             self._err(f"upsample k={k}? 2x2 and 3x3 only")
@@ -300,6 +316,8 @@ class Model:
                 opts = (t_in.iparm, float(t_in.xparm) > 0.5)
             elif kind == Layer.MOE:
                 opts = (t_in.iparm, t_in.stride[1], t_in.stride[0])
+            elif kind == Layer.LNORM:
+                opts = (float(t_in.xparm),)
             elif kind in (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
                           Layer.LEAKYRL, Layer.ELU, Layer.DROPOUT):
                 opts = (float(t_in.xparm),)
@@ -316,7 +334,8 @@ class Model:
         for i in range(self.numel - 1):
             t_in = self[i]
             kind = t_in.grad_fn
-            if kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM):
+            if kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM,
+                        Layer.LNORM):
                 out.append((t_in.grad[0].ensure_data(),
                             t_in.grad[1].ensure_data()))
             elif kind == Layer.LINEAR:
@@ -487,7 +506,8 @@ class Model:
                 w1, w2 = t_in.grad[2], t_in.grad[3]
                 dws.append(w1.ensure_data().reshape(w1.N(), w1.H(), w1.W()))
                 dbs.append(w2.ensure_data().reshape(w2.N(), w2.H(), w2.W()))
-            elif kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM):
+            elif kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM,
+                          Layer.LNORM):
                 dws.append(t_in.grad[2].ensure_data())
                 dbs.append(t_in.grad[3].ensure_data())
             else:
@@ -504,7 +524,8 @@ class Model:
         for i in range(self.numel - 1):
             t_in = self[i]
             if t_in.grad_fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
-                                Layer.BATCHNM, Layer.ATTN, Layer.MOE) \
+                                Layer.BATCHNM, Layer.ATTN, Layer.MOE,
+                                Layer.LNORM) \
                     and t_in.grad[0] is not None:
                 out.append((t_in, 0))        # weight slot
                 out.append((t_in, 1))        # bias slot

@@ -4,13 +4,13 @@
 class Layer:
     (NONE, CONV, LINEAR, FLATTEN, RELU, TANH, SIGMOID, SELU, LEAKYRL,
      ELU, DROPOUT, SOFTMAX, LOGSMAX, AVGPOOL, MAXPOOL, MINPOOL,
-     BATCHNM, USAMPLE, DCONV, ATTN, MOE) = range(21)
+     BATCHNM, USAMPLE, DCONV, ATTN, MOE, LNORM) = range(22)
 
     NAMES = ["output ", "conv2d ", "linear ", "flatten", "relu   ",
              "tanh   ", "sigmoid", "selu   ", "leakyrl", "elu    ",
              "dropout", "softmax", "logsmax", "avgpool", "maxpool",
              "minpool", "batchnm", "upsampl", "dconv2d", "attn   ",
-             "moe    "]
+             "moe    ", "lnorm  "]
 
 
 class Loss:

@@ -75,7 +75,7 @@ def shard_params_seq(mesh: Mesh, program) -> tuple:
         elif kind in (Layer.CONV, Layer.DCONV):
             out.append((NamedSharding(mesh, P(None, None, None, "tp")),
                         NamedSharding(mesh, P("tp"))))
-        elif kind == Layer.BATCHNM:
+        elif kind in (Layer.BATCHNM, Layer.LNORM):
             out.append((NamedSharding(mesh, P()), NamedSharding(mesh, P())))
         else:
             out.append(())
@@ -122,7 +122,7 @@ def shard_params(mesh: Mesh, program) -> tuple:
             # axis — expert parallelism (each device holds E/ep experts)
             out.append((NamedSharding(mesh, P(model_ax, None, None)),
                         NamedSharding(mesh, P(model_ax, None, None))))
-        elif kind == Layer.BATCHNM:
+        elif kind in (Layer.BATCHNM, Layer.LNORM):
             out.append((NamedSharding(mesh, P()), NamedSharding(mesh, P())))
         else:
             out.append(())

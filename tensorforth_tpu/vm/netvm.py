@@ -359,6 +359,18 @@ class NetVM(TensorVM):
             else:
                 vm.sys.perr("", "( M [k] F E -- ) for nn.moe! ")
         CODE("nn.moe", _moe)
+        def _lnorm(vm):
+            """( M [eps] -- M' ) layer normalization over the feature
+            axis with learnable gamma/beta (extension word — the
+            transformer-tier norm; eps defaults to 1e-5)"""
+            if vm.M1V():
+                eps = float(vm.POP())
+                vm.MTOS().add(Layer.LNORM, 0, eps)
+            elif vm.IS_M(vm.tos):
+                vm.MTOS().add(Layer.LNORM)
+            else:
+                vm.sys.perr("", "( M [eps] -- ) for layernorm! ")
+        CODE("layernorm", _lnorm)
         CODE("maxpool",  lambda vm: vm._nnop(Layer.MAXPOOL))
         CODE("avgpool",  lambda vm: vm._nnop(Layer.AVGPOOL))
         CODE("minpool",  lambda vm: vm._nnop(Layer.MINPOOL))

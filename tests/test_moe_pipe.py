@@ -196,6 +196,31 @@ ldm s" {p}" load network""")
     assert abs(m0 - m1) < 1e-4, "moe params not persisted"
 
 
+def test_layernorm_word_trains_and_persists(t4, tmp_path):
+    """layernorm layer: word-path training + save/load roundtrip"""
+    p = tmp_path / "ln.t4"
+    t4.forth("""0 trace
+4 8 16 1 nn.model
+layernorm 4 nn.attn layernorm flatten 4 linear softmax
+constant lnm""")
+    t4.forth("512 vector randn 4 8 16 1 reshape4 constant lx")
+    t4.forth("lnm lx forward")
+    t4.forth("16 vector{ 1 0 0 0  1 0 0 0  1 0 0 0  1 0 0 0 } "
+             "4 1 4 1 reshape4 nn.onehot= drop")
+    losses = []
+    for _ in range(10):
+        out = t4.forth("lnm lx forward loss.ce . backprop 0.01 nn.adam drop")
+        losses.append(float(out.strip().split()[0]))
+    assert losses[-1] < losses[0], f"lnorm model not learning: {losses}"
+    g0 = float(t4.forth("lnm 0 nn.w sum . cr drop").strip().split()[0])
+    assert abs(g0 - 16.0) > 1e-4, "gamma never trained"
+    t4.forth(f'lnm s" {p}" save drop')
+    out = t4.forth(f'4 8 16 1 nn.model constant ll\nll s" {p}" load network')
+    assert "lnorm" in out
+    g1 = float(t4.forth("0 nn.w sum . cr").strip().split()[0])
+    assert abs(g0 - g1) < 1e-4, "gamma not persisted"
+
+
 def test_split_stages_rejects_non_repeated(t4):
     from tensorforth_tpu.models import mnist_cnn
     from tensorforth_tpu.parallel.pipeline import split_stages

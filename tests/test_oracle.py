@@ -78,6 +78,18 @@ def test_batchnorm_matches_torch():
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-3, atol=1e-3)
 
 
+def test_layernorm_matches_torch():
+    x = _rand(2, 4, 8, 1, seed=11)                 # [N,S,E,1] tokens
+    g = _rand(8, seed=12)
+    b = _rand(8, seed=13)
+    ours = np.asarray(funcs._lnorm_fwd(jnp.asarray(x), jnp.asarray(g),
+                                       jnp.asarray(b), 1e-5))
+    ref = F.layer_norm(torch.tensor(x).reshape(2, 4, 8), (8,),
+                       torch.tensor(g), torch.tensor(b),
+                       eps=1e-5).numpy().reshape(2, 4, 8, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_linear_grads_match_torch_autograd():
     """linear dW/dB/dX where reference semantics == standard math"""
     x = _rand(4, 8, seed=13)
