@@ -88,6 +88,10 @@ def _layer_forth(t_in, t_out) -> str:
         return f"{t_in.stride[0]} {t_in.stride[1]} {t_in.iparm} nn.moe"
     if fn == Layer.LNORM:
         return f"{g(t_in.xparm)} layernorm"
+    if fn == Layer.EMBED:
+        return f"{t_in.grad[0].W()} {t_in.iparm} nn.embed"
+    if fn == Layer.PROJ:
+        return f"{g(t_in.xparm)} {t_in.grad[0].H()} nn.proj"
     return ""
 
 
@@ -96,7 +100,8 @@ def _param_layers(m):
         t_in = m[i]
         fn = t_in.grad_fn
         if fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
-                  Layer.ATTN, Layer.MOE, Layer.LNORM):
+                  Layer.ATTN, Layer.MOE, Layer.LNORM,
+                  Layer.EMBED, Layer.PROJ):
             yield t_in, ("w", "b")
         elif fn == Layer.BATCHNM:
             yield t_in, ("w",)

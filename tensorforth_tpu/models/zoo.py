@@ -85,6 +85,24 @@ def tiny_moe(batch: int = 8, seq: int = 8, dim: int = 16, experts: int = 4,
     return m
 
 
+def tiny_lm(batch: int = 4, seq: int = 16, vocab: int = 32, dim: int = 32,
+            heads: int = 4, layers: int = 2):
+    """character-level language model (extension, LM/serving tier):
+    [N,S,1,1] token ids -> embed -> (lnorm + causal attn + tanh)* ->
+    lnorm -> position-wise proj -> per-position softmax; serves
+    autoregressively through nn/serve.py (KV-cache decode)"""
+    m = _new_model(batch, seq, 1, 1)
+    m.add(Layer.EMBED, vocab, float(dim))
+    for _ in range(layers):
+        m.add(Layer.LNORM)
+        m.add(Layer.ATTN, heads, 1.0)        # causal
+        m.add(Layer.TANH)
+    m.add(Layer.LNORM)
+    m.add(Layer.PROJ, vocab)
+    m.add(Layer.SOFTMAX)
+    return m
+
+
 def cifar_cnn(batch: int = 256):
     """t4_42a M0: conv64+bn+relu+pool / conv128+bn+relu+pool+drop /
     512 linear bn relu drop / 10 linear softmax"""

@@ -112,14 +112,18 @@ def _dropout_fwd(x, rate, key):
 
 
 def _softmax_fwd(x):
-    n = x.shape[0]
-    f = x.reshape(n, -1)
+    """softmax over the feature axis (W*C) per (N, H) position —
+    identical to the reference's whole-sample softmax for its
+    [N,1,classes,1] classifier heads (H==1), and per-position for
+    sequence outputs [N,S,V,1] (the LM/serving tier)"""
+    n, h = x.shape[0], (x.shape[1] if x.ndim == 4 else 1)
+    f = x.reshape(n, h, -1)
     return jax.nn.softmax(f, axis=-1).reshape(x.shape)
 
 
 def _logsoftmax_fwd(x):
-    n = x.shape[0]
-    f = x.reshape(n, -1)
+    n, h = x.shape[0], (x.shape[1] if x.ndim == 4 else 1)
+    f = x.reshape(n, h, -1)
     return jax.nn.log_softmax(f, axis=-1).reshape(x.shape)
 
 
@@ -220,6 +224,25 @@ def _moe_fwd(x, w1aug, w2, top_k: int):
     return y.reshape(n, s, d, 1)
 
 
+def _embed_fwd(x, table, b):
+    """token embedding: x [N,S,1,1] float ids -> [N,S,E,1]
+    (extension layer — the LM/serving tier's vocabulary lookup;
+    gather forward, scatter-add gradient via jax autodiff)"""
+    n, s = x.shape[0], x.shape[1]
+    ids = x.reshape(n, s).astype(jnp.int32)
+    e = table.shape[1]
+    return (table[ids] + b).reshape(n, s, e, 1)
+
+
+def _proj_fwd(x, w, b):
+    """position-wise projection: x [N,S,E,1] @ w^T [E,V] + b -> [N,S,V,1]
+    (the LM head; contrast LINEAR, which flattens the whole sample)"""
+    n, s, e, _ = x.shape
+    y = jnp.dot(x.reshape(n, s, e), w.T,
+                preferred_element_type=jnp.float32) + b
+    return y.reshape(n, s, -1, 1)
+
+
 def _lnorm_fwd(x, gamma, beta, eps: float):
     """layer normalization over the feature axis (W*C) per (N, H)
     position: x [N,H,W,C] -> same shape (extension layer — the
@@ -278,6 +301,10 @@ def _apply_layer(spec, x, p, key):
         return _moe_fwd(x, p[0], p[1], opts[2]), None
     if kind == Layer.LNORM:
         return _lnorm_fwd(x, p[0], p[1], opts[0]), None
+    if kind == Layer.EMBED:
+        return _embed_fwd(x, p[0], p[1]), None
+    if kind == Layer.PROJ:
+        return _proj_fwd(x, p[0], p[1]), None
     raise ValueError(f"layer kind {kind}")
 
 
@@ -423,6 +450,25 @@ def _bwd_body(program, train, tgt, x0, outs, params, masks, dws, dbs):
                 dx, dg, db = vjp(dy.reshape(out_shape))
                 if train:
                     ndws[j] = ndws[j] + dg
+                    ndbs[j] = ndbs[j] + db
+            elif kind == Layer.EMBED:
+                # token ids get no input gradient; the table's gradient
+                # is the scatter-add of dy over looked-up rows
+                _, vjp = jax.vjp(
+                    lambda t_, b_: _embed_fwd(x_in, t_, b_),
+                    params[j][0], params[j][1])
+                dt, db = vjp(dy.reshape(out_shape))
+                if train:
+                    ndws[j] = ndws[j] + dt
+                    ndbs[j] = ndbs[j] + db
+                dx = jnp.zeros_like(x_in)
+            elif kind == Layer.PROJ:
+                _, vjp = jax.vjp(
+                    lambda x_, w_, b_: _proj_fwd(x_, w_, b_),
+                    x_in, params[j][0], params[j][1])
+                dx, dw, db = vjp(dy.reshape(out_shape))
+                if train:
+                    ndws[j] = ndws[j] + dw
                     ndbs[j] = ndbs[j] + db
             elif kind == Layer.BATCHNM:
                 xhat, rvar = masks[j]

@@ -130,6 +130,10 @@ class Model:
             self._imoe(t_in, int(n), int(bias), opt or [2])
         elif fn == Layer.LNORM:
             self._ilnorm(t_in, bias)
+        elif fn == Layer.EMBED:
+            self._iembed(t_in, int(n), bias)
+        elif fn == Layer.PROJ:
+            self._iproj(t_in, int(n), bias)
         else:
             self._err(f"Model#add layer {fn} not supported")
             return self
@@ -294,6 +298,49 @@ class Model:
         t_in.xparm = eps if eps > 0.0 else 1.0e-5
         self.npush(self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C()))
 
+    def _iembed(self, t_in: Tensor, vocab: int, dim: float):
+        """token embedding (extension, LM tier): input [N,S,1,1] float
+        ids -> [N,S,E,1]; table [1,V,E,1] in the weight slot, bias [E]"""
+        N1, S = t_in.N(), t_in.H()
+        E = int(dim)
+        if vocab < 2 or E < 1:
+            self._err(f"embed V={vocab} E={E}?")
+            return
+        w = self._T4(1, vocab, E, 1)
+        b = self._T4(E)
+        t_in.grad[0], t_in.grad[1] = w, b
+        t_in.grad[2] = self._T4(1, vocab, E, 1)
+        t_in.grad[3] = self._T4(E)
+        t_in.iparm = vocab
+        k = math.sqrt(1.0 / E)
+        if Config.MM_DEBUG:
+            w.set_numpy(np.full(w.numel, 0.5, np.float32))
+            b.set_numpy(np.zeros(E, np.float32))
+        else:
+            self._rand(w, k)
+            b.set_numpy(np.zeros(E, np.float32))
+        self.npush(self._T4(N1, S, E, 1))
+
+    def _iproj(self, t_in: Tensor, V: int, bias: float):
+        """position-wise projection (extension, LM head): [N,S,E,1] ->
+        [N,S,V,1]; w [1,V,E,1], b [V] (contrast LINEAR which flattens)"""
+        N1, S = t_in.N(), t_in.H()
+        E = t_in.W() * t_in.C()
+        w = self._T4(1, V, E, 1)
+        b = self._T4(V)
+        t_in.grad[0], t_in.grad[1] = w, b
+        t_in.grad[2] = self._T4(1, V, E, 1)
+        t_in.grad[3] = self._T4(V)
+        t_in.xparm = bias
+        k = math.sqrt(1.0 / (V + E))
+        if Config.MM_DEBUG:
+            w.set_numpy(np.full(w.numel, 0.5, np.float32))
+            b.set_numpy(np.zeros(V, np.float32))
+        else:
+            self._rand(w, k)
+            self._rand(b, bias)
+        self.npush(self._T4(N1, S, V, 1))
+
     def _iup(self, t_in: Tensor, k: int, method: float):
         if k not in (2, 3):
             self._err(f"upsample k={k}? 2x2 and 3x3 only")
@@ -338,7 +385,7 @@ class Model:
                         Layer.LNORM):
                 out.append((t_in.grad[0].ensure_data(),
                             t_in.grad[1].ensure_data()))
-            elif kind == Layer.LINEAR:
+            elif kind in (Layer.LINEAR, Layer.EMBED, Layer.PROJ):
                 w = t_in.grad[0]
                 out.append((w.ensure_data().reshape(w.H(), w.W()),
                             t_in.grad[1].ensure_data()))
@@ -494,7 +541,7 @@ class Model:
         for i in range(self.numel - 1):
             t_in = self[i]
             kind = t_in.grad_fn
-            if kind == Layer.LINEAR:
+            if kind in (Layer.LINEAR, Layer.EMBED, Layer.PROJ):
                 w = t_in.grad[2]
                 dws.append(w.ensure_data().reshape(w.H(), w.W()))
                 dbs.append(t_in.grad[3].ensure_data())
@@ -525,7 +572,7 @@ class Model:
             t_in = self[i]
             if t_in.grad_fn in (Layer.CONV, Layer.DCONV, Layer.LINEAR,
                                 Layer.BATCHNM, Layer.ATTN, Layer.MOE,
-                                Layer.LNORM) \
+                                Layer.LNORM, Layer.EMBED, Layer.PROJ) \
                     and t_in.grad[0] is not None:
                 out.append((t_in, 0))        # weight slot
                 out.append((t_in, 1))        # bias slot

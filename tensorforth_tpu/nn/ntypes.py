@@ -4,13 +4,13 @@
 class Layer:
     (NONE, CONV, LINEAR, FLATTEN, RELU, TANH, SIGMOID, SELU, LEAKYRL,
      ELU, DROPOUT, SOFTMAX, LOGSMAX, AVGPOOL, MAXPOOL, MINPOOL,
-     BATCHNM, USAMPLE, DCONV, ATTN, MOE, LNORM) = range(22)
+     BATCHNM, USAMPLE, DCONV, ATTN, MOE, LNORM, EMBED, PROJ) = range(24)
 
     NAMES = ["output ", "conv2d ", "linear ", "flatten", "relu   ",
              "tanh   ", "sigmoid", "selu   ", "leakyrl", "elu    ",
              "dropout", "softmax", "logsmax", "avgpool", "maxpool",
              "minpool", "batchnm", "upsampl", "dconv2d", "attn   ",
-             "moe    ", "lnorm  "]
+             "moe    ", "lnorm  ", "embed  ", "proj   "]
 
 
 class Loss:

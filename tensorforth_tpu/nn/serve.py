@@ -1,0 +1,152 @@
+"""Autoregressive serving — KV-cache generation for LM-tier models.
+
+The reference's roadmap names Transformers as its next tier
+(README.md:702-720) and this framework targets production serving: this
+module compiles the whole decode loop into ONE XLA program
+(`lax.scan` over steps) with per-layer KV caches, so generating N
+tokens costs one dispatch — no per-token host round-trips on a
+tunneled chip.
+
+Supported program shape (the `tiny_lm` zoo family / t4_53 demo):
+  EMBED -> { [LNORM] ATTN(causal) [activation] [MOE] }* -> [LNORM]
+        -> PROJ -> SOFTMAX
+Position-wise layers (LNORM, activations, MOE, PROJ) run on the
+single-token slice; ATTN attends over its cache.  FLATTEN/LINEAR/CONV
+layers cannot serve incrementally and are rejected.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import funcs
+from .ntypes import Layer
+
+_POSWISE = (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
+            Layer.LEAKYRL, Layer.ELU)
+
+
+def _check_program(program):
+    for kind, _o, _s in program:
+        if kind in (Layer.FLATTEN, Layer.LINEAR, Layer.CONV, Layer.DCONV,
+                    Layer.MAXPOOL, Layer.AVGPOOL, Layer.MINPOOL,
+                    Layer.BATCHNM, Layer.USAMPLE, Layer.DROPOUT):
+            raise ValueError(
+                f"nn.gen: layer '{Layer.NAMES[kind].strip()}' cannot "
+                f"serve incrementally")
+
+
+def _step_token(program, params, caches, tok, t, s_max):
+    """one decode step: tok [N] int32 ids at position t -> logits [N,V]
+    plus updated caches"""
+    n = tok.shape[0]
+    x = tok.reshape(n, 1, 1, 1).astype(jnp.float32)
+    new_caches = list(caches)
+    ci = 0
+    for j, (kind, opts, _shape) in enumerate(program):
+        p = params[j]
+        if kind == Layer.EMBED:
+            x = funcs._embed_fwd(x, p[0], p[1])
+        elif kind == Layer.LNORM:
+            x = funcs._lnorm_fwd(x, p[0], p[1], opts[0])
+        elif kind in _POSWISE:
+            x, _ = funcs._activate_fwd(kind, x, opts[0])
+        elif kind == Layer.MOE:
+            x = funcs._moe_fwd(x, p[0], p[1], opts[2])
+        elif kind == Layer.PROJ:
+            x = funcs._proj_fwd(x, p[0], p[1])
+        elif kind == Layer.SOFTMAX:
+            pass                        # sample from logits directly
+        elif kind == Layer.ATTN:
+            heads = opts[0]
+            e = x.shape[2]
+            dh = e // heads
+            xf = x.reshape(n, e)
+            qkv = jnp.dot(xf, p[0].T, preferred_element_type=jnp.float32)
+            qkv = qkv.reshape(n, 3, heads, dh)
+            q = qkv[:, 0]                               # [N, h, dh]
+            k1 = qkv[:, 1]
+            v1 = qkv[:, 2]
+            ck, cv = new_caches[ci]
+            ck = jax.lax.dynamic_update_index_in_dim(ck, k1, t, 2)
+            cv = jax.lax.dynamic_update_index_in_dim(cv, v1, t, 2)
+            new_caches[ci] = (ck, cv)
+            ci += 1
+            scores = jnp.einsum("nhd,nhsd->nhs", q, ck,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(dh))
+            pos = jax.lax.broadcasted_iota(jnp.int32, (s_max,), 0)
+            scores = jnp.where(pos[None, None, :] <= t, scores, -1.0e30)
+            w = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("nhs,nhsd->nhd", w, cv,
+                           preferred_element_type=jnp.float32)
+            x = jnp.dot(o.reshape(n, e), p[1].T,
+                        preferred_element_type=jnp.float32
+                        ).reshape(n, 1, e, 1)
+        else:
+            raise ValueError(f"nn.gen: unsupported layer {kind}")
+    return x.reshape(n, -1), tuple(new_caches)
+
+
+@partial(jax.jit,
+         static_argnames=("program", "s_max", "n_prompt", "temp"))
+def _generate(program, params, prompt, s_max: int, n_prompt: int,
+              temp: float, key):
+    """prompt [N, n_prompt] int32 -> ids [N, s_max] (prefill + decode
+    in one scanned executable; greedy when temp == 0)"""
+    n = prompt.shape[0]
+    heads_dims = []
+    for kind, opts, shape in program:
+        if kind == Layer.ATTN:
+            e = shape[2]
+            heads_dims.append((opts[0], e // opts[0]))
+    caches = tuple(
+        (jnp.zeros((n, h, s_max, d), jnp.float32),
+         jnp.zeros((n, h, s_max, d), jnp.float32))
+        for h, d in heads_dims)
+    ids0 = jnp.zeros((n, s_max), jnp.int32)
+    ids0 = jax.lax.dynamic_update_slice(ids0, prompt, (0, 0))
+
+    def step(carry, t):
+        ids, caches, key = carry
+        tok = jax.lax.dynamic_index_in_dim(ids, t, 1, keepdims=False)
+        logits, caches = _step_token(program, params, caches, tok, t,
+                                     s_max)
+        if temp > 0.0:
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits / temp, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        # within the prompt, the next token is given (prefill);
+        # beyond it, the model's choice extends the sequence
+        keep = (t + 1) < n_prompt
+        cur = jax.lax.dynamic_index_in_dim(
+            ids, jnp.minimum(t + 1, s_max - 1), 1, keepdims=False)
+        nxt = jnp.where(keep, cur, nxt.astype(jnp.int32))
+        ids = jax.lax.dynamic_update_index_in_dim(
+            ids, nxt, jnp.minimum(t + 1, s_max - 1), 1)
+        return (ids, caches, key), None
+
+    (ids, _, _), _ = jax.lax.scan(step, (ids0, caches, key),
+                                  jnp.arange(s_max - 1))
+    return ids
+
+
+def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
+             seed: int = 0):
+    """prompt_ids: [N, S0] (or [S0]) int array -> [N, S0+n_new] ids"""
+    program = model._program()
+    _check_program(program)
+    params = model._params()
+    p = np.asarray(prompt_ids, np.int32)
+    squeeze = p.ndim == 1
+    if squeeze:
+        p = p[None]
+    s_max = p.shape[1] + n_new
+    ids = _generate(program, params, jnp.asarray(p), s_max, p.shape[1],
+                    float(temp), jax.random.PRNGKey(seed))
+    out = np.asarray(ids)
+    return out[0] if squeeze else out

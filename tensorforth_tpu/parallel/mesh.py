@@ -67,7 +67,7 @@ def shard_params_seq(mesh: Mesh, program) -> tuple:
     """attention/linear weights row-sharded over 'tp', rest replicated"""
     out = []
     for kind, _opts, _shape in program:
-        if kind in (Layer.LINEAR, Layer.ATTN):
+        if kind in (Layer.LINEAR, Layer.ATTN, Layer.PROJ):
             out.append((NamedSharding(mesh, P("tp", None)),
                         NamedSharding(mesh, P("tp", None))
                         if kind == Layer.ATTN
@@ -75,8 +75,11 @@ def shard_params_seq(mesh: Mesh, program) -> tuple:
         elif kind in (Layer.CONV, Layer.DCONV):
             out.append((NamedSharding(mesh, P(None, None, None, "tp")),
                         NamedSharding(mesh, P("tp"))))
-        elif kind in (Layer.BATCHNM, Layer.LNORM):
+        elif kind in (Layer.BATCHNM, Layer.LNORM, Layer.EMBED):
             out.append((NamedSharding(mesh, P()), NamedSharding(mesh, P())))
+        elif kind == Layer.MOE:
+            out.append((NamedSharding(mesh, P("tp", None, None)),
+                        NamedSharding(mesh, P("tp", None, None))))
         else:
             out.append(())
     return tuple(out)
@@ -86,7 +89,7 @@ def _param_spec(kind: int, arr_ndim: int, which: str) -> P:
     """weight shardings: linear W[E0,E1] row-sharded over 'tp' (output
     features), conv filters [C1,K,K,C0] sharded on C0; biases sharded on
     their only axis; batchnorm gamma/beta replicated (tiny)."""
-    if kind == Layer.LINEAR:
+    if kind in (Layer.LINEAR, Layer.PROJ):
         return P("tp", None) if which == "w" else P("tp")
     if kind in (Layer.CONV, Layer.DCONV):
         return (P(None, None, None, "tp") if which == "w" else P("tp"))
@@ -101,13 +104,17 @@ def shard_params(mesh: Mesh, program) -> tuple:
     model_ax = "tp" if has_tp else "ep"
     out = []
     for kind, _opts, _shape in program:
-        if kind in (Layer.CONV, Layer.DCONV, Layer.LINEAR):
+        if kind in (Layer.CONV, Layer.DCONV, Layer.LINEAR, Layer.PROJ):
             if has_tp:
                 out.append((NamedSharding(mesh, _param_spec(kind, 2, "w")),
                             NamedSharding(mesh, _param_spec(kind, 1, "b"))))
             else:
                 out.append((NamedSharding(mesh, P()),
                             NamedSharding(mesh, P())))
+        elif kind == Layer.EMBED:
+            # vocab tables replicate (small at this tier; row-sharding a
+            # gather costs an all-gather per lookup)
+            out.append((NamedSharding(mesh, P()), NamedSharding(mesh, P())))
         elif kind == Layer.ATTN:
             # wqkv [3E, E] row-sharded (heads split over 'tp'),
             # wo [E, E] column-sharded (contracts the head outputs)

@@ -371,6 +371,29 @@ class NetVM(TensorVM):
             else:
                 vm.sys.perr("", "( M [eps] -- ) for layernorm! ")
         CODE("layernorm", _lnorm)
+        def _embed(vm):
+            """( M E V -- M' ) token-embedding layer: vocab V, dim E
+            (extension word, LM/serving tier; input is [N,S,1,1] ids)"""
+            if vm.M2V():
+                v = vm.POPi()
+                e = vm.POPi()
+                vm.MTOS().add(Layer.EMBED, v, float(e))
+            else:
+                vm.sys.perr("", "( M E V -- ) for nn.embed! ")
+        CODE("nn.embed", _embed)
+        def _proj(vm):
+            """( M [b] V -- M' ) position-wise projection (LM head):
+            [N,S,E,1] -> [N,S,V,1]"""
+            if vm.M2V():
+                v = vm.POPi()
+                b = float(vm.POP())
+                vm.MTOS().add(Layer.PROJ, v, b)
+            elif vm.M1V():
+                v = vm.POPi()
+                vm.MTOS().add(Layer.PROJ, v)
+            else:
+                vm.sys.perr("", "( M [b] V -- ) for nn.proj! ")
+        CODE("nn.proj", _proj)
         CODE("maxpool",  lambda vm: vm._nnop(Layer.MAXPOOL))
         CODE("avgpool",  lambda vm: vm._nnop(Layer.AVGPOOL))
         CODE("minpool",  lambda vm: vm._nnop(Layer.MINPOOL))
@@ -589,6 +612,33 @@ class NetVM(TensorVM):
             vm.sys.pstr(f"\\ nn.pipe {epochs} epochs over pp{stages} done, "
                         f"final loss={loss:.6g}\n")
         CODE("nn.pipe", _nn_pipe)
+        def _nn_gen(vm):
+            """( M T n [temp] -- M T' ) extension word: autoregressive
+            generation — extend the id sequence T by n tokens with a
+            KV-cache decode loop compiled to ONE device program
+            (nn/serve.py; temp=0/omitted is greedy)."""
+            temp = 0.0
+            if (vm.ss.size() > 2 and vm.IS_M(vm.ss[-3])
+                    and IS_OBJ(vm.ss[-2]) and not IS_OBJ(vm.ss[-1])
+                    and not IS_OBJ(vm.tos)):
+                temp = float(vm.POP())
+            if not (vm.ss.size() > 1 and vm.IS_M(vm.ss[-2])
+                    and IS_OBJ(vm.ss[-1]) and not IS_OBJ(vm.tos)):
+                vm.sys.perr("", "M T n [temp] nn.gen? ")
+                return
+            n_new = vm.POPi()
+            tv = vm.POP()
+            t = vm.mmu.du2obj(tv)
+            m = vm.MTOS()
+            from ..nn.serve import generate
+            ids = t.numpy().reshape(-1)
+            out = generate(m, ids, n_new, temp=temp,
+                           seed=vm.sys.next_key() & 0x7FFFFFFF)
+            ot = vm.mmu.tensor(out.shape[0])
+            ot.set_numpy(out.astype(np.float32))
+            vm.DROP_DU(tv)
+            vm.PUSH(vm.mmu.obj2du(ot))
+        CODE("nn.gen", _nn_gen)
         # --- overrides ------------------------------------------------------------------------------------------
         CODE("boot", lambda vm: vm.dict.clear(vm.dict.find("network") + 1))
         CODE("flatten", lambda vm: vm._nnop(Layer.FLATTEN))

@@ -1,0 +1,128 @@
+"""LM/serving tier: embedding + position-wise projection + per-position
+softmax + KV-cache autoregressive generation (nn.gen)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_per_position_softmax_rows(t4):
+    from tensorforth_tpu.nn import funcs
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 7, 1),
+                    jnp.float32)
+    y = np.asarray(funcs._softmax_fwd(x)).reshape(2, 5, 7)
+    np.testing.assert_allclose(y.sum(-1), np.ones((2, 5)), rtol=1e-5)
+
+
+def test_lm_forward_shapes(t4):
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn import funcs
+    m = tiny_lm(batch=2, seq=8, vocab=16, dim=16, heads=4, layers=1)
+    ids = np.random.RandomState(1).randint(0, 16, (2, 8))
+    x = jnp.asarray(ids.reshape(2, 8, 1, 1), jnp.float32)
+    outs, _ = funcs.forward_pure(m._program(), x, m._params(),
+                                 jax.random.PRNGKey(0))
+    assert outs[-1].shape == (2, 8, 16, 1)
+    probs = np.asarray(outs[-1]).reshape(2, 8, 16)
+    np.testing.assert_allclose(probs.sum(-1), np.ones((2, 8)), rtol=1e-5)
+
+
+def test_lm_word_path_memorizes(t4):
+    """train a tiny LM on one fixed sequence batch via the word path"""
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.mu.mmu import MMU
+    mmu = MMU.get_mmu()
+    m = tiny_lm(batch=2, seq=8, vocab=8, dim=16, heads=4, layers=1)
+    rs = np.random.RandomState(3)
+    ids = rs.randint(0, 8, (2, 8))
+    tgt = np.roll(ids, -1, axis=1)           # next-token targets
+    hot = np.eye(8, dtype=np.float32)[tgt].reshape(2, 8, 8, 1)
+
+    inp = mmu.tensor(2, 8, 1, 1)
+    inp.set_numpy(ids.reshape(2, 8, 1, 1).astype(np.float32))
+    hott = mmu.tensor(2, 8, 8, 1)
+    hott.set_numpy(hot)
+    losses = []
+    for _ in range(30):
+        m.forward(inp)
+        losses.append(m.loss(2, hott))       # CE
+        m.backprop(hott)
+        m.adam(0.01)
+    assert losses[-1] < losses[0] * 0.5, f"LM not learning: {losses[:3]}...{losses[-3:]}"
+
+
+def test_generate_cache_consistency(t4):
+    """KV-cache decode must agree with full causal forward: every
+    generated token is the argmax of the full-sequence logits at its
+    position (teacher-forcing replay)"""
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn import funcs
+    from tensorforth_tpu.nn.serve import generate
+    m = tiny_lm(batch=1, seq=12, vocab=16, dim=16, heads=4, layers=2)
+    prompt = np.array([3, 1, 4, 1], np.int32)
+    out = generate(m, prompt, n_new=8, temp=0.0)
+    assert out.shape == (12,)
+    np.testing.assert_array_equal(out[:4], prompt)
+
+    # full forward over the generated sequence (batch must match model)
+    x = jnp.asarray(out.reshape(1, 12, 1, 1), jnp.float32)
+    outs, _ = funcs.forward_pure(m._program(), x, m._params(),
+                                 jax.random.PRNGKey(0))
+    probs = np.asarray(outs[-1]).reshape(12, 16)
+    for t in range(3, 11):                   # decode region
+        want = int(np.argmax(probs[t]))
+        got = int(out[t + 1])
+        assert got == want, f"cache/full divergence at position {t}"
+
+
+def test_memorized_lm_generates_pattern(t4):
+    """end-to-end: train on a repeating cycle, KV-cache decode must
+    reproduce it exactly (the t4_53 demo's contract)"""
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.mu.mmu import MMU
+    from tensorforth_tpu.nn.serve import generate
+    mmu = MMU.get_mmu()
+    m = tiny_lm(batch=1, seq=8, vocab=4, dim=16, heads=2, layers=1)
+    ids = np.array([[0, 1, 2, 3, 0, 1, 2, 3]])
+    hot = np.eye(4, dtype=np.float32)[np.roll(ids, -1, 1)].reshape(1, 8, 4, 1)
+    inp = mmu.tensor(1, 8, 1, 1)
+    inp.set_numpy(ids.reshape(1, 8, 1, 1).astype(np.float32))
+    ht = mmu.tensor(1, 8, 4, 1)
+    ht.set_numpy(hot)
+    for _ in range(100):
+        m.forward(inp)
+        m.backprop(ht)
+        m.adam(0.01)
+    out = generate(m, np.array([0, 1, 2, 3]), n_new=8, temp=0.0)
+    want = np.array([0, 1, 2, 3] * 3)
+    np.testing.assert_array_equal(out, want,
+                                  err_msg=f"LM did not continue cycle: {out}")
+
+
+def test_nn_gen_word(t4):
+    """the .4th-level serving API"""
+    out = t4.forth("""0 trace
+1 12 1 1 nn.model
+16 16 nn.embed layernorm 1 4 nn.attn tanh layernorm 16 nn.proj softmax
+constant lmw
+4 vector{ 3 1 4 1 } constant pr
+lmw pr 8 nn.gen .""")
+    rows = [l for l in out.split("\n") if "vector[12]" in l]
+    assert rows, f"nn.gen produced no 12-token vector: {out[-400:]}"
+    out2 = t4.forth("abort lmw 5 nn.gen")
+    assert "nn.gen?" in out2                 # bad stack -> usage, alive
+
+
+def test_lm_save_load_roundtrip(t4, tmp_path):
+    p = tmp_path / "lm.t4"
+    t4.forth("""0 trace
+1 12 1 1 nn.model
+16 16 nn.embed layernorm 1 4 nn.attn tanh layernorm 16 nn.proj softmax
+constant svlm""")
+    w0 = float(t4.forth("svlm 0 nn.w sum . cr drop").strip().split()[0])
+    t4.forth(f'svlm s" {p}" save drop')
+    out = t4.forth(f'1 12 1 1 nn.model constant ldlm\n'
+                   f'ldlm s" {p}" load network')
+    assert "embed" in out and "proj" in out
+    w1 = float(t4.forth("0 nn.w sum . cr").strip().split()[0])
+    assert abs(w0 - w1) < 1e-4
