@@ -75,7 +75,9 @@ static void h_insert(uint64_t off, int32_t bi) {
 
 static int32_t h_take(uint64_t off) {     // lookup + delete
     uint32_t i = hsh(off);
-    while (A.h[i].bi != -1) {
+    // probe bound: a table saturated with tombstones must terminate
+    // (a free() of an absent offset — e.g. double free — returns -1)
+    for (int probes = 0; probes < HASH_SZ && A.h[i].bi != -1; ++probes) {
         if (A.h[i].bi >= 0 && A.h[i].off == off) {
             int32_t b = A.h[i].bi;
             A.h[i].bi = -2;               // tombstone

@@ -304,12 +304,25 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
             else if (std::fabs((double)pop(vm)) < DU_EPS)
                 vm->ip = (int32_t)ioff;
             break;
-        case P_FOR: rpush(vm, pop(vm)); break;
-        case P_DO: {                    // rs.push(ss.pop()); rs.push(POP())
-            rpush(vm, vm->ss[--vm->ss_idx]);        // limit (NOS)
-            rpush(vm, vm->tos);                     // index (TOS)
-            vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f;
-        } break;
+        case P_FOR:
+            if (is_obj(vm->tos)) {      // future count (or dataset) —
+                vm->ip -= 4;            // python resolves/pushes
+                cb(-5);
+            }
+            else rpush(vm, pop(vm));
+            break;
+        case P_DO:
+            if (is_obj(vm->tos) ||
+                (vm->ss_idx > 0 && is_obj(vm->ss[vm->ss_idx - 1]))) {
+                vm->ip -= 4;
+                cb(-6);
+            }
+            else {                      // rs.push(ss.pop()); rs.push(POP())
+                rpush(vm, vm->ss[--vm->ss_idx]);    // limit (NOS)
+                rpush(vm, vm->tos);                 // index (TOS)
+                vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f;
+            }
+            break;
         case P_KEY:
             vm->ip -= 4;
             cb(-3);

@@ -30,13 +30,19 @@ _POSWISE = (Layer.RELU, Layer.TANH, Layer.SIGMOID, Layer.SELU,
 
 
 def _check_program(program):
-    for kind, _o, _s in program:
+    for kind, opts, _s in program:
         if kind in (Layer.FLATTEN, Layer.LINEAR, Layer.CONV, Layer.DCONV,
                     Layer.MAXPOOL, Layer.AVGPOOL, Layer.MINPOOL,
                     Layer.BATCHNM, Layer.USAMPLE, Layer.DROPOUT):
             raise ValueError(
                 f"nn.gen: layer '{Layer.NAMES[kind].strip()}' cannot "
                 f"serve incrementally")
+        if kind == Layer.ATTN and not (len(opts) > 1 and opts[1]):
+            # KV-cache decode IS causal attention; serving a model
+            # trained bidirectionally would silently change its math
+            raise ValueError(
+                "nn.gen: attention layers must be causal "
+                "(build with `1 h nn.attn`)")
 
 
 def _step_token(program, params, caches, tok, t, s_max):

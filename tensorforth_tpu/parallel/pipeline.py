@@ -141,6 +141,12 @@ def train_pipeline(model, ds, lr: float, epochs: int, stages: int,
 
     program = model._program()
     params = model._params()
+    from ..nn.ntypes import Layer
+    if any(kind == Layer.DROPOUT for kind, _o, _s in program):
+        # keys here derive from a constant, which would FREEZE dropout
+        # masks across every batch/epoch — refuse rather than silently
+        # train a fixed pruned subnetwork
+        raise ValueError("nn.pipe: dropout layers are not supported")
     stem, blk = split_stages(program, params, stages)
     body_n = stem + blk * stages
     batch = model[0].N()

@@ -276,6 +276,13 @@ class NativeEngine:
                 vm.ip += IU_SZ
                 if ZEQ(vm.fpop()):               # resolves deferred scalars
                     vm.ip = p.ioff
+            elif widx == -5:                     # FOR with an object count
+                vm.ip += IU_SZ
+                vm.rs.push(vm._loopval(vm.POP()))
+            elif widx == -6:                     # DO with object operands
+                vm.ip += IU_SZ
+                vm.rs.push(vm._loopval(vm.ss.pop()))
+                vm.rs.push(vm._loopval(vm.POP()))
         except Exception as ex:                  # surface, don't crash C
             # mirror ForthVM.parse's word-error contract: report and
             # keep the REPL alive (QUERY), never hard-stop the VM

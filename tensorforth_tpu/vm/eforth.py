@@ -181,10 +181,10 @@ class ForthVM(VM):
                 if ZEQ(self.fpop()):       # resolves deferred scalars
                     self.ip = ix.ioff
             elif op == Prim.FOR:
-                rs.push(self.POP())
+                rs.push(self._loopval(self.POP()))
             elif op == Prim.DO:
-                rs.push(self.ss.pop())
-                rs.push(self.POP())
+                rs.push(self._loopval(self.ss.pop()))
+                rs.push(self._loopval(self.POP()))
             elif op == Prim.KEY:
                 self.PUSH(np.float32(ord(self.sys.key())))
 
@@ -332,7 +332,7 @@ class ForthVM(VM):
             if c in ("g", "f"):
                 return gfmt(np.float32(self.fpop()))
             if c == "x":
-                return "0x" + format(UINT(self.POP()), "x")
+                return "0x" + format(UINT(self.fpop()), "x")
             if c == "s":
                 self.POP()
                 return self.pmem.rd_str(self.POPi())
@@ -732,6 +732,16 @@ class ForthVM(VM):
         # host thread pool — device-level scaling goes through parallel/)
         from .multitask import register_multitask_words
         register_multitask_words(self.dict)
+
+    def _loopval(self, v):
+        """FOR/DO counter cell: futures resolve to host scalars; other
+        objects (the dataset FOR/NEXT form) pass through untouched"""
+        fo = self.future_of(v)
+        if fo is None:
+            return v
+        r = np.float32(fo.value())
+        self.DROP_DU(v)
+        return SCALAR(r)
 
     # --- tiny ALU adapters --------------------------------------------------
     def _rtos(self) -> float:

@@ -30,16 +30,24 @@ class NetVM(TensorVM):
     def MNOS(self) -> Model:
         return self.mmu.du2obj(self.ss[-1])
 
+    def IS_V(self, v) -> bool:
+        """numeric value cell: a plain scalar OR a deferred device
+        scalar (futures count as values everywhere a word wants a
+        number — fpop()/POPi resolve them)"""
+        return not IS_OBJ(v) or self.future_of(v) is not None
+
     def M1V(self) -> bool:
-        return self.IS_M(self.ss[-1]) and not IS_OBJ(self.tos)
+        return self.IS_M(self.ss[-1]) and self.IS_V(self.tos)
 
     def M2V(self) -> bool:
         return (self.ss.size() > 1 and self.IS_M(self.ss[-2])
-                and not IS_OBJ(self.ss[-1]) and not IS_OBJ(self.tos))
+                and self.IS_V(self.ss[-1]) and self.IS_V(self.tos))
 
     def MTV(self) -> bool:
         return (self.ss.size() > 1 and self.IS_M(self.ss[-2])
-                and IS_OBJ(self.ss[-1]) and not IS_OBJ(self.tos))
+                and IS_OBJ(self.ss[-1])
+                and self.future_of(self.ss[-1]) is None
+                and self.IS_V(self.tos))
 
     def TOS1D(self) -> bool:
         """TOS is a tensor or dataset (reference netvm.h TOS1D)"""
@@ -92,7 +100,7 @@ class NetVM(TensorVM):
                 m.add(op, 0, 0.1)
                 return
         if self.M1V():                            # one-parameter layers
-            a = float(self.POP())
+            a = self.fpop()
             m = self.MTOS()
             if op == Layer.LINEAR:
                 m.add(op, int(a), 1.0)
@@ -114,7 +122,7 @@ class NetVM(TensorVM):
         if op == Layer.LINEAR:
             if self.M2V():
                 c = self.POPi()
-                bias = float(self.POP())
+                bias = self.fpop()
                 self.MTOS().add(op, c, bias)
             else:
                 self.sys.perr("", "( N [bias] n -- ) for linear required! ")
@@ -122,7 +130,7 @@ class NetVM(TensorVM):
         if op == Layer.USAMPLE:
             if self.M2V():
                 n = self.POPi()
-                mth = float(self.POP())
+                mth = self.fpop()
                 self.MTOS().add(op, n, mth)
             else:
                 self.sys.perr("", "( N [mtum] n -- ) for upsample required? ")
@@ -154,7 +162,7 @@ class NetVM(TensorVM):
             self.sys.perr("", "Model#add bias c for conv2d required! ")
             return
         c = self.POPi()
-        bias = float(self.POP())
+        bias = self.fpop()
         self.MTOS().add(Layer.DCONV if txn else Layer.CONV, c, bias, opt)
 
     # --- forward / backprop (reference netvm.cpp:230-264) -------------------
@@ -364,7 +372,7 @@ class NetVM(TensorVM):
             axis with learnable gamma/beta (extension word — the
             transformer-tier norm; eps defaults to 1e-5)"""
             if vm.M1V():
-                eps = float(vm.POP())
+                eps = vm.fpop()
                 vm.MTOS().add(Layer.LNORM, 0, eps)
             elif vm.IS_M(vm.tos):
                 vm.MTOS().add(Layer.LNORM)
@@ -386,7 +394,7 @@ class NetVM(TensorVM):
             [N,S,E,1] -> [N,S,V,1]"""
             if vm.M2V():
                 v = vm.POPi()
-                b = float(vm.POP())
+                b = vm.fpop()
                 vm.MTOS().add(Layer.PROJ, v, b)
             elif vm.M1V():
                 v = vm.POPi()
@@ -450,37 +458,37 @@ class NetVM(TensorVM):
         CODE("nn.zero", _nn_zero)
         def _nn_sgd(vm):
             if vm.M2V():
-                b = float(vm.POP()); lr = float(vm.POP())
+                b = vm.fpop(); lr = vm.fpop()
                 vm.MTOS().sgd(lr, b)
             elif vm.M1V():
-                lr = float(vm.POP())
+                lr = vm.fpop()
                 vm.MTOS().sgd(lr)
             else:
                 vm.sys.perr("", "rate mtum nn.sgd? ")
         CODE("nn.sgd", _nn_sgd)
         def _nn_adam(vm):
             if vm.M2V():
-                b1 = float(vm.POP()); lr = float(vm.POP())
+                b1 = vm.fpop(); lr = vm.fpop()
                 vm.MTOS().adam(lr, b1)
             elif vm.M1V():
-                lr = float(vm.POP())
+                lr = vm.fpop()
                 vm.MTOS().adam(lr)
             else:
                 vm.sys.perr("", "rate [beta1] nn.adam? ")
         CODE("nn.adam", _nn_adam)
         def _nn_adamw(vm):
             if vm.M2V():
-                wd = float(vm.POP()); lr = float(vm.POP())
+                wd = vm.fpop(); lr = vm.fpop()
                 vm.MTOS().adamw(lr, wd)
             elif vm.M1V():
-                lr = float(vm.POP())
+                lr = vm.fpop()
                 vm.MTOS().adamw(lr)
             else:
                 vm.sys.perr("", "rate [wd] nn.adamw? ")
         CODE("nn.adamw", _nn_adamw)
         def _max_norm(vm):
             if vm.M1V():
-                vm.MTOS().max_norm = float(vm.POP())
+                vm.MTOS().max_norm = vm.fpop()
             else:
                 vm.sys.perr("", "norm model? ")
         CODE("nn.max_norm", _max_norm)
@@ -506,7 +514,7 @@ class NetVM(TensorVM):
         def _normalize(vm):
             t = vm.mmu.du2obj(vm.ss[-2]) if vm.ss.size() > 1 else None
             if t is not None and t.is_dataset():
-                scale = float(vm.POP()); mean = vm.POPi()
+                scale = vm.fpop(); mean = vm.POPi()
                 t.normalize(mean, scale)
                 t.rewind(vm.sys.trace)
             else:
@@ -578,7 +586,7 @@ class NetVM(TensorVM):
                 vm.sys.perr("", "M D lr epochs nn.train? ")
                 return
             epochs = vm.POPi()
-            lr = float(vm.POP())
+            lr = vm.fpop()
             dsv = vm.POP()
             ds = vm.mmu.du2obj(dsv)
             m = vm.MTOS()
@@ -601,7 +609,7 @@ class NetVM(TensorVM):
                 return
             stages = vm.POPi()
             epochs = vm.POPi()
-            lr = float(vm.POP())
+            lr = vm.fpop()
             dsv = vm.POP()
             ds = vm.mmu.du2obj(dsv)
             m = vm.MTOS()
@@ -621,7 +629,7 @@ class NetVM(TensorVM):
             if (vm.ss.size() > 2 and vm.IS_M(vm.ss[-3])
                     and IS_OBJ(vm.ss[-2]) and not IS_OBJ(vm.ss[-1])
                     and not IS_OBJ(vm.tos)):
-                temp = float(vm.POP())
+                temp = vm.fpop()
             if not (vm.ss.size() > 1 and vm.IS_M(vm.ss[-2])
                     and IS_OBJ(vm.ss[-1]) and not IS_OBJ(vm.tos)):
                 vm.sys.perr("", "M T n [temp] nn.gen? ")

@@ -149,7 +149,7 @@ class TensorVM(ForthVM):
     def xop2(self, op: int, x: int = T_KEEP):
         fn, ft = self.future_of(self.ss[-1]), self.future_of(self.tos)
         if fn is not None or ft is not None:
-            return self._xop2_future(op, fn, ft)
+            return self._xop2_future(op, fn, ft, x)
         tt = (2 if IS_OBJ(self.ss[-1]) else 0) | (1 if IS_OBJ(self.tos) else 0)
         from ..ops import engine
         name = _BIN_NAME.get(op)
@@ -199,11 +199,12 @@ class TensorVM(ForthVM):
         if not IS_VIEW(old):
             self.mmu.mark_free(old)
 
-    def _xop2_future(self, op: int, fn, ft):
+    def _xop2_future(self, op: int, fn, ft, x: int = T_KEEP):
         """binary op with >=1 deferred-scalar operand.  future(+)scalar
         and future(+)future stay on device (asynchronous); a future
         meeting a TENSOR — or an op with no device mapping — materializes
-        in place and re-enters the normal dispatch."""
+        in place and re-enters the normal dispatch (preserving the
+        in-place/destructive flag x for the += family)."""
         from ..ops import engine
         if (fn is None and self.is_ten(self.ss[-1])) or \
            (ft is None and self.is_ten(self.tos)):
@@ -211,7 +212,7 @@ class TensorVM(ForthVM):
                 self._materialize(ft, "tos")
             if fn is not None:
                 self._materialize(fn, "nos")
-            return self.xop2(op)
+            return self.xop2(op, x)
         r = engine.sc_op2(_BIN_NAME.get(op),
                           fn.data if fn is not None else float(self.ss[-1]),
                           ft.data if ft is not None else float(self.tos))
@@ -498,7 +499,7 @@ class TensorVM(ForthVM):
         CODE("={", _setlit)
         CODE("zeros", lambda vm: vm.xop1(M.FILL, DU0))
         CODE("ones",  lambda vm: vm.xop1(M.FILL, DU1))
-        CODE("fill",  lambda vm: vm.xop1(M.FILL, vm.POP()))
+        CODE("fill",  lambda vm: vm.xop1(M.FILL, np.float32(vm.fpop())))
         CODE("gradfill", lambda vm: vm.xop1(M.GFILL, DU1))
         CODE("eye",   lambda vm: vm.xop1(M.IDEN))
         def _rand(vm):
@@ -515,7 +516,7 @@ class TensorVM(ForthVM):
         CODE("randn", _randn)
         # --- slice & dice -------------------------------------------------------
         def _normalize(vm):
-            std = float(vm.POP()); avg = float(vm.POP())
+            std = vm.fpop(); avg = vm.fpop()
             if vm.TOS1T():
                 t = vm.TTOS()
                 from ..ops import engine
@@ -562,7 +563,7 @@ class TensorVM(ForthVM):
             vm.PUSH(SCALAR(np.float32(v)))
         CODE("t@", _tat)
         def _tbang(vm):                     # ( T v i -- T )
-            i = vm.POPi(); v = float(vm.POP())
+            i = vm.POPi(); v = vm.fpop()
             if IS_OBJ(vm.tos):
                 t = vm.TTOS()
                 a = t.numpy().reshape(-1)
@@ -632,7 +633,7 @@ class TensorVM(ForthVM):
             def _hparam(vm):                 # ( v tag len -- )
                 vm.POPi()
                 tag = vm.pmem.rd_str(vm.POPi())
-                v = float(vm.POP())
+                v = vm.fpop()
                 if vm.sys.tb:
                     vm.sys.tb.hparam(tag, v)
             CODE(".hparam", _hparam)

@@ -157,9 +157,19 @@ class VM:
         if IS_OBJ(v) and not IS_VIEW(v) and self.mmu is not None:
             self.mmu.mark_free(v)
 
+    def _fconsume(self, v) -> float:
+        """host value of a consumed DU: resolves futures (marking the
+        owner for sweep); raw float otherwise"""
+        f = self.future_of(v)
+        if f is None:
+            return float(v)
+        r = f.value()
+        self.DROP_DU(v)
+        return r
+
     # --- scalar ALU (reference vm.cpp:66-105) --------------------------------
     def xop1(self, op: int, v=DU0):
-        t = float(self.tos)
+        t = self._fconsume(self.tos)
         M = MathOp
         if op == M.ABS:    t = abs(t)
         elif op == M.NEG:  t = -t
@@ -179,8 +189,8 @@ class VM:
         self.tos = SCALAR(np.float32(t))
 
     def xop2(self, op: int, drop=None):
-        t = float(self.tos)
-        n = float(self.ss.pop())
+        t = self._fconsume(self.tos)
+        n = self._fconsume(self.ss.pop())
         M = MathOp
         if op == M.ADD:    t = n + t
         elif op == M.MUL:  t = n * t

