@@ -81,11 +81,27 @@ class DeviceArena:
     def __init__(self, n_bytes: int):
         self.n_words = n_bytes // 4
         self.buf = jnp.zeros(self.n_words, jnp.float32)
+        from ..ops.engine import add_sync_hook
+        add_sync_hook(self)                 # weakly referenced
+
+    def _track(self):
+        pass        # completion is observed via the engine sync hook —
+        #             holding a reference here would defeat donation
+
+    def _sync(self):
+        """one-element readback of the pool: forces completion of every
+        queued in-place op (registered as an engine sync hook so the
+        `clock` word's barrier covers arena work)"""
+        try:
+            float(jnp.ravel(self.buf)[0])
+        except Exception:       # pragma: no cover
+            pass
 
     # --- choke points ------------------------------------------------------
     def write(self, woff: int, arr):
         flat = jnp.asarray(arr, jnp.float32).reshape(-1)
         self.buf = _write(self.buf, flat, jnp.int32(woff))
+        self._track()
 
     def read(self, woff: int, shape):
         n = int(np.prod(shape))
@@ -93,21 +109,25 @@ class DeviceArena:
 
     def fill(self, woff: int, v: float, numel: int):
         self.buf = _fill(self.buf, jnp.int32(woff), jnp.float32(v), numel)
+        self._track()
 
     # --- fused ops (read->compute->write, one donated executable) ----------
     def binop_tt(self, op: str, offa, sa, offb, sb, offo, so):
         self.buf = _binop(self.buf, jnp.int32(offa), jnp.int32(offb),
                           jnp.int32(offo), op, tuple(sa), tuple(sb),
                           tuple(so))
+        self._track()
 
     def binop_ts(self, op: str, offa, sa, v: float, offo, so,
                  flip: bool = False):
         self.buf = _binop_ts(self.buf, jnp.int32(offa), jnp.float32(v),
                              jnp.int32(offo), op, tuple(sa), tuple(so), flip)
+        self._track()
 
     def matmul(self, offa, sa, offb, sb, offo):
         self.buf = _matmul(self.buf, jnp.int32(offa), jnp.int32(offb),
                            jnp.int32(offo), tuple(sa), tuple(sb))
+        self._track()
 
     def pointer(self):
         """stable iff every op donated in place (test hook)"""

@@ -74,14 +74,18 @@ class MMU:
                 if off != (1 << 64) - 1:
                     self._offs[oid] = off
                     # bind the payload into the device pool (datasets
-                    # re-dim after registration — they stay XLA-owned)
+                    # re-dim after registration — they stay XLA-owned).
+                    # Slots zero LAZILY on first read: factory-then-
+                    # overwrite patterns (matmul results) never pay a
+                    # fill dispatch.
                     if self.arena is not None and obj.is_tensor():
                         obj.aoff = off // 4
                         if obj.data is not None:
                             self.arena.write(obj.aoff, obj.data)
                             obj.data = None
+                            obj._ainit = True
                         else:
-                            self.arena.fill(obj.aoff, 0.0, obj.numel)
+                            obj._ainit = False
         return obj
 
     def du2obj(self, v):
@@ -167,42 +171,54 @@ class MMU:
         return (self.arena is not None
                 and all(t is not None and t.aoff is not None for t in ts))
 
+    def _arena_in(self, *ts):
+        """operands must hold defined data (lazy-zero fresh slots)"""
+        for t in ts:
+            if not t._ainit:
+                self.arena.fill(t.aoff, 0.0, t.numel)
+                t._ainit = True
+
+    @staticmethod
+    def _arena_out(t):
+        t.data = None
+        t._host = None
+        t._ainit = True
+
     def arena_matmul(self, C, A, B) -> bool:
         """C = A @ B entirely inside the device pool (one donated op)"""
         if not self._arena_ready(C, A, B):
             return False
         if A.rank != 2 or B.rank != 2:
             return False
+        self._arena_in(A, B)
         self.arena.matmul(A.aoff, A.shape, B.aoff, B.shape, C.aoff)
-        C.data = None
-        C._host = None
+        self._arena_out(C)
         return True
 
     def arena_binop_tt(self, name: str, O, A, B) -> bool:
         if not self._arena_ready(O, A, B):
             return False
+        self._arena_in(A, B)
         self.arena.binop_tt(name, A.aoff, A.shape, B.aoff, B.shape,
                             O.aoff, O.shape)
-        O.data = None
-        O._host = None
+        self._arena_out(O)
         return True
 
     def arena_binop_ts(self, name: str, O, A, v: float,
                        flip: bool = False) -> bool:
         if not self._arena_ready(O, A):
             return False
+        self._arena_in(A)
         self.arena.binop_ts(name, A.aoff, A.shape, float(v),
                             O.aoff, O.shape, flip)
-        O.data = None
-        O._host = None
+        self._arena_out(O)
         return True
 
     def arena_fill(self, T, v: float) -> bool:
         if not self._arena_ready(T):
             return False
         self.arena.fill(T.aoff, float(v), T.numel)
-        T.data = None
-        T._host = None
+        self._arena_out(T)
         return True
 
     def mark_free(self, v):

@@ -42,6 +42,7 @@ class Tensor:
         self.err = 0
         self._host = None                  # host mirror (valid when set)
         self.aoff = None                   # HBM-arena word offset (T4_ARENA)
+        self._ainit = True                 # arena slot holds defined data
 
     # --- dimensional accessors (reference NHWC) ---------------------------
     @property
@@ -100,6 +101,9 @@ class Tensor:
         if self.data is None:
             ar = self._arena()
             if ar is not None:             # payload lives in the HBM pool
+                if not self._ainit:        # lazy zero of a fresh slot
+                    ar.fill(self.aoff, 0.0, self.numel)
+                    self._ainit = True
                 return ar.read(self.aoff, self.shape)
             import jax.numpy as jnp
             self.data = jnp.zeros(self.shape, dtype=jnp.float32)
@@ -114,6 +118,7 @@ class Tensor:
             ar.write(self.aoff, arr)
             self.data = None
             self._host = None
+            self._ainit = True
             return self
         self.data = arr
         self._host = None                  # device is now authoritative
@@ -137,6 +142,7 @@ class Tensor:
         if ar is not None:
             ar.write(self.aoff, a)
             self.data = None
+            self._ainit = True
         else:
             self.data = jnp.asarray(a, dtype=jnp.float32).reshape(self.shape)
         self._host = a.reshape(self.shape)

@@ -434,9 +434,11 @@ class Model:
                 xhat, rvar = m
                 t_in.grad[4].replace_data(xhat)
                 C = t_in.C()
-                mt = np.zeros(3 * C, np.float32)
-                mt[:C] = np.asarray(rvar).reshape(-1)
-                t_in.mtum[4].set_numpy(mt)
+                # stays on device: np.asarray(rvar) here would force a
+                # device->host sync EVERY batch (25 ms on the tunnel)
+                t_in.mtum[4].replace_data(
+                    jnp.concatenate([jnp.ravel(rvar),
+                                     jnp.zeros(2 * C, jnp.float32)]))
             elif t_in.grad[4] is not None:
                 t_in.grad[4].replace_data(m.reshape(t_in.grad[4].shape)
                                           if m.size == t_in.grad[4].numel

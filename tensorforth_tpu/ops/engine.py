@@ -299,11 +299,37 @@ def track(arr):
     return arr
 
 
+_sync_hooks: list = []                      # weakrefs to hook owners
+
+
+def add_sync_hook(owner):
+    """register an object with a _sync() method (weakly referenced) —
+    run at every engine barrier (e.g. the device arena's pool)"""
+    import weakref
+    _sync_hooks.append(weakref.ref(owner))
+
+
 def sync():
+    """barrier on the most recent dispatch.  block_until_ready resolves
+    optimistically on the tunneled axon backend, so force REAL
+    completion with a one-element readback — `clock`-bracketed script
+    benchmarks must measure finished device work, like the reference's
+    cudaDeviceSynchronize (one ~25 ms round-trip per `clock`, amortized
+    over the timed region)."""
     global _last_dispatch
     if _last_dispatch is not None:
         try:
             jax.block_until_ready(_last_dispatch)
+            float(jnp.ravel(_last_dispatch)[0])
         except Exception:
             pass
         _last_dispatch = None
+    dead = []
+    for ref in _sync_hooks:
+        owner = ref()
+        if owner is None:
+            dead.append(ref)
+        else:
+            owner._sync()
+    for ref in dead:
+        _sync_hooks.remove(ref)
