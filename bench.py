@@ -219,6 +219,28 @@ variable hit 0 hit ! variable lox
         os.environ.pop("T4_MAX_BATCH", None)
 
 
+def bench_serving(batch: int = 8, n_prompt: int = 32, n_new: int = 224):
+    """LM decode throughput: KV-cache autoregressive generation
+    (nn/serve.py) — prefill + decode as ONE device program"""
+    import numpy as np
+    import time as _t
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn.serve import generate
+    m = tiny_lm(batch=batch, seq=n_prompt, vocab=64, dim=64, heads=4,
+                layers=2)
+    rs = np.random.RandomState(0)
+    prompt = rs.randint(0, 64, (batch, n_prompt))
+    print("[bench] compiling LM decode loop ...", file=sys.stderr,
+          flush=True)
+    generate(m, prompt, n_new)                  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = generate(m, prompt, n_new)
+        best = min(best, time.perf_counter() - t0)
+    return batch * n_new / best
+
+
 def run_accuracy_gate(epochs: int = 20, n_batches: int = 0):
     """BASELINE.md gate: t4_30e CNN to >=98% accuracy (word-level API,
     fused nn.train epochs).  Full corpus unless n_batches limits it."""
@@ -259,6 +281,10 @@ def main():
     sps, ms_step, sps_epoch = bench_mnist()
     ms_mx = bench_word_matmul()
     wb_ms, wb_sps = bench_word_epoch()
+    try:
+        lm_tps = bench_serving()
+    except Exception:
+        lm_tps = 0.0
     gate = None
     if os.environ.get("T4_BENCH_GATE"):
         gate = run_accuracy_gate(epochs=20)
@@ -274,6 +300,7 @@ def main():
         "word_mx_vs_gtx1660_0.768ms": round(0.768 / ms_mx, 2),
         "word_epoch_ms_per_batch100": round(wb_ms, 3),
         "word_epoch_samples_per_sec": round(wb_sps, 0),
+        "lm_decode_tokens_per_sec": round(lm_tps, 0),
         "reference_gemm_gflops": round(REF_GEMM_GFLOPS, 1),
     }
     if gate is not None:

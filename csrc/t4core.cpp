@@ -151,8 +151,8 @@ static void native_word(T4VM *vm, int id) {
     case W_MUL: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
                   vm->tos = scal(n * t); } break;
     case W_DIV: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
-                  vm->tos = scal(t != 0.0 ? n / t
-                                 : std::copysign(INFINITY, n)); } break;
+                  vm->tos = scal(n / t);    // IEEE: 0/0 NaN, n/±0 ±inf
+                } break;
     case W_MOD: { int32_t t = d2i(vm->tos);
                   int32_t n = d2i(vm->ss[--vm->ss_idx]);
                   vm->tos = scal(t ? (double)std::fmod((double)n, (double)t)

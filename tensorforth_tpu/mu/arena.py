@@ -79,8 +79,13 @@ class DeviceArena:
     """one preallocated device pool; offsets in f32 words"""
 
     def __init__(self, n_bytes: int):
+        import threading
         self.n_words = n_bytes // 4
         self.buf = jnp.zeros(self.n_words, jnp.float32)
+        # multitask words share the MMU across threads: the read-
+        # modify-donate of self.buf must be atomic (a second thread
+        # donating the same old buffer would corrupt or error)
+        self._lock = threading.Lock()
         from ..ops.engine import add_sync_hook
         add_sync_hook(self)                 # weakly referenced
 
@@ -100,33 +105,43 @@ class DeviceArena:
     # --- choke points ------------------------------------------------------
     def write(self, woff: int, arr):
         flat = jnp.asarray(arr, jnp.float32).reshape(-1)
-        self.buf = _write(self.buf, flat, jnp.int32(woff))
+        with self._lock:
+            self.buf = _write(self.buf, flat, jnp.int32(woff))
         self._track()
 
     def read(self, woff: int, shape):
         n = int(np.prod(shape))
-        return _read(self.buf, jnp.int32(woff), n).reshape(shape)
+        with self._lock:                    # a concurrent donation of
+            # self.buf would invalidate it mid-read — dispatch under
+            # the same lock as the writers
+            return _read(self.buf, jnp.int32(woff), n).reshape(shape)
 
     def fill(self, woff: int, v: float, numel: int):
-        self.buf = _fill(self.buf, jnp.int32(woff), jnp.float32(v), numel)
+        with self._lock:
+            self.buf = _fill(self.buf, jnp.int32(woff), jnp.float32(v),
+                             numel)
         self._track()
 
     # --- fused ops (read->compute->write, one donated executable) ----------
     def binop_tt(self, op: str, offa, sa, offb, sb, offo, so):
-        self.buf = _binop(self.buf, jnp.int32(offa), jnp.int32(offb),
-                          jnp.int32(offo), op, tuple(sa), tuple(sb),
-                          tuple(so))
+        with self._lock:
+            self.buf = _binop(self.buf, jnp.int32(offa), jnp.int32(offb),
+                              jnp.int32(offo), op, tuple(sa), tuple(sb),
+                              tuple(so))
         self._track()
 
     def binop_ts(self, op: str, offa, sa, v: float, offo, so,
                  flip: bool = False):
-        self.buf = _binop_ts(self.buf, jnp.int32(offa), jnp.float32(v),
-                             jnp.int32(offo), op, tuple(sa), tuple(so), flip)
+        with self._lock:
+            self.buf = _binop_ts(self.buf, jnp.int32(offa),
+                                 jnp.float32(v), jnp.int32(offo), op,
+                                 tuple(sa), tuple(so), flip)
         self._track()
 
     def matmul(self, offa, sa, offb, sb, offo):
-        self.buf = _matmul(self.buf, jnp.int32(offa), jnp.int32(offb),
-                           jnp.int32(offo), tuple(sa), tuple(sb))
+        with self._lock:
+            self.buf = _matmul(self.buf, jnp.int32(offa), jnp.int32(offb),
+                               jnp.int32(offo), tuple(sa), tuple(sb))
         self._track()
 
     def pointer(self):

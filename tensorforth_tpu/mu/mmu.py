@@ -25,6 +25,7 @@ class MMU:
     _inst = None
 
     def __init__(self):
+        import threading
         self.pmem = PMem()
         self.dict = Dictionary(self.pmem)
         self._objs: dict[int, object] = {}
@@ -33,6 +34,9 @@ class MMU:
         self._alloc_bytes = 0
         self._peak_bytes = 0
         self._num_alloc = 0
+        # multitask VM threads share this MMU: object-table mutation
+        # must be atomic (free_obj recurses into grad chains -> RLock)
+        self._mlock = threading.RLock()
         # native TLSF arena (csrc/t4alloc; reference mu/tlsf).  With
         # T4_ARENA=1 the TLSF owns a real preallocated device pool and
         # tensor payloads live at its offsets; otherwise it tracks the
@@ -42,6 +46,7 @@ class MMU:
         if self._tlsf is not None:
             self._tlsf.t4_tlsf_init(Config.OSTORE_SZ)
         self._offs: dict[int, int] = {}       # oid -> arena byte offset
+        self._regsz: dict[int, int] = {}      # oid -> bytes at register
         self.arena = None
         if Config.ARENA and self._tlsf is not None:
             from .arena import DeviceArena
@@ -59,34 +64,39 @@ class MMU:
 
     # --- handle scheme ------------------------------------------------------
     def register(self, obj) -> object:
-        oid = self._next_id
-        self._next_id += 1
-        obj.oid = oid
-        self._objs[oid] = obj
-        self._num_alloc += 1
-        if hasattr(obj, "numel"):
-            nbytes = obj.numel * 4
-            self._alloc_bytes += nbytes
-            self._peak_bytes = max(self._peak_bytes, self._alloc_bytes)
-            if self._tlsf is not None and not obj.is_model() \
-                    and not obj.is_future():
-                off = self._tlsf.t4_tlsf_malloc(max(nbytes, 4))
-                if off != (1 << 64) - 1:
-                    self._offs[oid] = off
-                    # bind the payload into the device pool (datasets
-                    # re-dim after registration — they stay XLA-owned).
-                    # Slots zero LAZILY on first read: factory-then-
-                    # overwrite patterns (matmul results) never pay a
-                    # fill dispatch.
-                    if self.arena is not None and obj.is_tensor():
-                        obj.aoff = off // 4
-                        if obj.data is not None:
-                            self.arena.write(obj.aoff, obj.data)
-                            obj.data = None
-                            obj._ainit = True
-                        else:
-                            obj._ainit = False
-        return obj
+        with self._mlock:
+            oid = self._next_id
+            self._next_id += 1
+            obj.oid = oid
+            self._objs[oid] = obj
+            self._num_alloc += 1
+            if hasattr(obj, "numel"):
+                nbytes = obj.numel * 4
+                # stash the registered size: datasets re-dim and models
+                # grow after registration — free must subtract what was
+                # ADDED, or mstat accounting drifts
+                self._regsz[oid] = nbytes
+                self._alloc_bytes += nbytes
+                self._peak_bytes = max(self._peak_bytes, self._alloc_bytes)
+                if self._tlsf is not None and not obj.is_model() \
+                        and not obj.is_future():
+                    off = self._tlsf.t4_tlsf_malloc(max(nbytes, 4))
+                    if off != (1 << 64) - 1:
+                        self._offs[oid] = off
+                        # bind the payload into the device pool (datasets
+                        # re-dim after registration — they stay XLA-owned).
+                        # Slots zero LAZILY on first read: factory-then-
+                        # overwrite patterns (matmul results) never pay a
+                        # fill dispatch.
+                        if self.arena is not None and obj.is_tensor():
+                            obj.aoff = off // 4
+                            if obj.data is not None:
+                                self.arena.write(obj.aoff, obj.data)
+                                obj.data = None
+                                obj._ainit = True
+                            else:
+                                obj._ainit = False
+            return obj
 
     def du2obj(self, v):
         return self._objs.get(obj_id(v))
@@ -139,10 +149,11 @@ class MMU:
 
     # --- free / sweep ----------------------------------------------------------
     def free_obj(self, obj):
+      with self._mlock:
         if obj is None or obj.oid not in self._objs:
             return
         if hasattr(obj, "numel"):
-            self._alloc_bytes -= obj.numel * 4
+            self._alloc_bytes -= self._regsz.pop(obj.oid, obj.numel * 4)
         off = self._offs.pop(obj.oid, None)
         if off is not None and self._tlsf is not None:
             self._tlsf.t4_tlsf_free(off)
@@ -224,12 +235,14 @@ class MMU:
     def mark_free(self, v):
         """deferred free — swept per REPL cycle (reference mmu.cu:169-196)"""
         if IS_OBJ(v) and not IS_VIEW(v):
-            self._marked.append(obj_id(v))
+            with self._mlock:
+                self._marked.append(obj_id(v))
 
     def sweep(self):
-        for oid in self._marked:
+        with self._mlock:
+            marked, self._marked = self._marked, []
+        for oid in marked:
             self.free_obj(self._objs.get(oid))
-        self._marked.clear()
 
     def rd(self, i: int):
         return self.pmem.rd_du(i)

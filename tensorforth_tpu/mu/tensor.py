@@ -140,6 +140,9 @@ class Tensor:
         a = np.asarray(a, dtype=np.float32)
         ar = self._arena()
         if ar is not None:
+            # validate size BEFORE touching the pool: an oversized load
+            # must raise, not overwrite neighbouring tensors' slots
+            a = a.reshape(self.shape)
             ar.write(self.aoff, a)
             self.data = None
             self._ainit = True

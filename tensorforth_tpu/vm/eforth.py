@@ -493,12 +493,15 @@ class ForthVM(VM):
         CODE("bl",      lambda vm: vm.PUSH(np.float32(0x20)))
         CODE("cr",      lambda vm: vm._print(IoOp.CR))
         CODE(".",       lambda vm: vm._print(IoOp.DOT, vm.POP()))
-        CODE("u.",      lambda vm: vm._print(IoOp.UDOT, vm.POP()))
+        CODE("u.",      lambda vm: vm._print(IoOp.UDOT,
+                                             np.float32(vm.fpop())))
         def _dotr(vm):
-            i = vm.POPi(); vm.sys.dotr(i, vm.POP(), vm.BASE)
+            i = vm.POPi()
+            vm.sys.dotr(i, np.float32(vm.fpop()), vm.BASE)
         CODE(".r", _dotr)
         def _udotr(vm):
-            i = vm.POPi(); vm.sys.dotr(i, vm.POP(), vm.BASE, unsigned=True)
+            i = vm.POPi()
+            vm.sys.dotr(i, np.float32(vm.fpop()), vm.BASE, unsigned=True)
         CODE("u.r", _udotr)
         def _type(vm):
             vm.POP(); vm.sys.pstr(vm.pmem.rd_str(vm.POPi()))
@@ -747,23 +750,11 @@ class ForthVM(VM):
     def _rtos(self) -> float:
         """resolve TOS to a host float (materializes futures; owner is
         marked for sweep since the caller overwrites/consumes TOS)"""
-        v = self.tos
-        fo = self.future_of(v)
-        if fo is None:
-            return float(v)
-        r = fo.value()
-        self.DROP_DU(v)
-        return r
+        return self._fconsume(self.tos)
 
     def _rnos(self) -> float:
         """pop+resolve NOS (below TOS)"""
-        v = self.ss.pop()
-        fo = self.future_of(v)
-        if fo is None:
-            return float(v)
-        r = fo.value()
-        self.DROP_DU(v)
-        return r
+        return self._fconsume(self.ss.pop())
 
     def _fun(self, f):
         self.tos = SCALAR(np.float32(f(self._rtos())))

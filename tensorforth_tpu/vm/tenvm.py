@@ -417,7 +417,7 @@ class TensorVM(ForthVM):
             if tb:
                 tb.text(tag, txt)
         elif op == "scalar":
-            v = self.POP()
+            v = self.fpop()                  # resolves deferred scalars
             if tb:
                 tb.scalar(tag, float(v))
         elif op in ("image", "embed"):

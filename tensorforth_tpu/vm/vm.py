@@ -133,13 +133,7 @@ class VM:
 
     def fpop(self) -> float:
         """POP + resolve; a consumed owner future is marked for sweep"""
-        v = self.POP()
-        f = self.future_of(v)
-        if f is None:
-            return float(v)
-        r = f.value()
-        self.DROP_DU(v)
-        return r
+        return self._fconsume(self.POP())
 
     @property
     def SP(self) -> int:
@@ -195,7 +189,16 @@ class VM:
         if op == M.ADD:    t = n + t
         elif op == M.MUL:  t = n * t
         elif op == M.SUB:  t = n - t
-        elif op == M.DIV:  t = (n / t) if t != 0.0 else math.copysign(float("inf"), n) * (1 if t == 0 else 1)
+        elif op == M.DIV:
+            # IEEE semantics like the reference's plain f32 division
+            # (t4math.h DIV): 0/0 -> NaN, n/±0 -> ±inf by both signs
+            if t != 0.0:
+                t = n / t
+            elif n == 0.0:
+                t = float("nan")
+            else:
+                t = (math.copysign(float("inf"), n)
+                     * math.copysign(1.0, t))
         elif op == M.MOD:  t = math.fmod(n, t) if t != 0.0 else float("nan")
         elif op == M.MAX:  t = max(n, t)
         elif op == M.MIN:  t = min(n, t)

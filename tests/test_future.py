@@ -135,6 +135,37 @@ fom 4 vector{ 10 1 1 10 } 2 1 2 1 reshape4 forward
     assert abs(w0 - w1) > 1e-3, "optimizer step with future lr did nothing"
 
 
+def test_future_tb_scalar_and_dotr(t4, tmp_path):
+    """REGRESSION (review): .scalar and .r/u.r must resolve futures —
+    the shipped GAN scripts log `lox @ ... .scalar` curves"""
+    from tensorforth_tpu.tb.summary import Summary
+    t4.sys.tb = Summary(str(tmp_path), "fx")
+    t4.forth("abort 3 vector{ 1 2 3 } sum swap drop "
+             's" q/v" .scalar')
+    t4.sys.tb.close()
+    import os
+    import struct
+    d = tmp_path / "fx"
+    f = [x for x in os.listdir(d) if "tfevents" in x][0]
+    raw = (d / f).read_bytes()
+    # the simple_value 6.0f must appear in the record bytes
+    assert struct.pack("<f", 6.0) in raw, ".scalar logged garbage"
+    out = t4.forth("abort 3 vector{ 1 2 3 } sum swap drop 8 .r")
+    assert "6" in out and "e-45" not in out
+
+
+def test_div_ieee_semantics(t4):
+    """reference DIV is plain f32 division: 0/0 NaN, n/0 inf (both in
+    the python ALU and the native engine's compiled path)"""
+    out = t4.forth("abort 0 0 / . 1 0 / . -1 0 / .")
+    parts = out.strip().split()
+    assert parts[0] in ("nan", "-nan")
+    assert parts[1] == "inf" and parts[2] == "-inf"
+    out = t4.forth("abort : dv / . ; 0 0 dv 1 0 dv")
+    parts = out.strip().split()
+    assert parts[0] in ("nan", "-nan") and parts[1] == "inf"
+
+
 def test_epoch_loop_single_readback_semantics(t4, monkeypatch):
     """whole t4_30e-style epoch: values after the loop match eager math"""
     monkeypatch.setenv("T4_MAX_BATCH", "3")
