@@ -93,6 +93,49 @@ def _build_and_load(name: str):
 _core = None
 _alloc = None
 _tb = None
+_io = None
+
+
+def get_io():
+    """libt4io: native TB event writer + corpus readers (csrc/t4io.cpp)"""
+    global _io
+    if _io is None and not os.environ.get("T4_NO_NATIVE"):
+        lib = _build_and_load("t4io")
+        if lib is not None:
+            i64, u64, i32 = C.c_int64, C.c_uint64, C.c_int32
+            dbl, u8p = C.c_double, C.POINTER(C.c_uint8)
+            lib.t4_tb_open.restype = i64
+            lib.t4_tb_open.argtypes = [C.c_char_p]
+            lib.t4_tb_close.argtypes = [i64]
+            lib.t4_tb_flush.argtypes = [i64]
+            lib.t4_tb_raw_body.restype = i64
+            lib.t4_tb_raw_body.argtypes = [i64, C.c_char_p, u64, dbl,
+                                           i64, i32]
+            lib.t4_tb_file_version.restype = i64
+            lib.t4_tb_file_version.argtypes = [i64, dbl]
+            lib.t4_tb_scalar.restype = i64
+            lib.t4_tb_scalar.argtypes = [i64, C.c_char_p, C.c_float,
+                                         i64, dbl]
+            lib.t4_tb_text.restype = i64
+            lib.t4_tb_text.argtypes = [i64, C.c_char_p, C.c_char_p,
+                                       i64, dbl]
+            lib.t4_tb_image.restype = i64
+            lib.t4_tb_image.argtypes = [i64, C.c_char_p, C.c_char_p, u64,
+                                        i32, i32, i64, dbl]
+            lib.t4_tb_histo.restype = i64
+            lib.t4_tb_histo.argtypes = [i64, C.c_char_p, dbl, dbl, dbl,
+                                        dbl, dbl, C.POINTER(C.c_double),
+                                        C.POINTER(C.c_double), i32, i64,
+                                        dbl]
+            lib.t4_ld_idx_info.restype = i64
+            lib.t4_ld_idx_info.argtypes = [C.c_char_p,
+                                           C.POINTER(C.c_uint32)]
+            lib.t4_ld_idx_read.restype = i64
+            lib.t4_ld_idx_read.argtypes = [C.c_char_p, u64, u8p, u64]
+            lib.t4_ld_cifar.restype = i64
+            lib.t4_ld_cifar.argtypes = [C.c_char_p, u8p, u8p, i64]
+            _io = lib
+    return _io
 
 
 def get_tb():
