@@ -82,8 +82,9 @@ def _layer_forth(t_in, t_out) -> str:
     if fn == Layer.USAMPLE:
         return f"{t_in.stride[0]} upsample"
     if fn == Layer.ATTN:
-        causal = "1 " if float(t_in.xparm) > 0.5 else ""
-        return f"{causal}{t_in.iparm} nn.attn"
+        flags = int(float(t_in.xparm))          # bit0 causal, bit1 rope
+        pre = f"{flags} " if flags else ""
+        return f"{pre}{t_in.iparm} nn.attn"
     if fn == Layer.MOE:
         return f"{t_in.stride[0]} {t_in.stride[1]} {t_in.iparm} nn.moe"
     if fn == Layer.LNORM:

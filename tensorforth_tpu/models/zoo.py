@@ -86,16 +86,19 @@ def tiny_moe(batch: int = 8, seq: int = 8, dim: int = 16, experts: int = 4,
 
 
 def tiny_lm(batch: int = 4, seq: int = 16, vocab: int = 32, dim: int = 32,
-            heads: int = 4, layers: int = 2):
+            heads: int = 4, layers: int = 2, rope: bool = False):
     """character-level language model (extension, LM/serving tier):
     [N,S,1,1] token ids -> embed -> (lnorm + causal attn + tanh)* ->
     lnorm -> position-wise proj -> per-position softmax; serves
-    autoregressively through nn/serve.py (KV-cache decode)"""
+    autoregressively through nn/serve.py (KV-cache decode).
+    rope=True adds rotary position embeddings to every attention layer
+    (attn flags bit1)"""
     m = _new_model(batch, seq, 1, 1)
     m.add(Layer.EMBED, vocab, float(dim))
+    flags = 3.0 if rope else 1.0             # causal [+ rope]
     for _ in range(layers):
         m.add(Layer.LNORM)
-        m.add(Layer.ATTN, heads, 1.0)        # causal
+        m.add(Layer.ATTN, heads, flags)
         m.add(Layer.TANH)
     m.add(Layer.LNORM)
     m.add(Layer.PROJ, vocab)

@@ -146,8 +146,22 @@ def _upsample_fwd(x, k):
     return jnp.repeat(jnp.repeat(x, k, axis=1), k, axis=2)
 
 
+def rope_apply(x, pos):
+    """rotary position embedding (RoPE, Su et al. 2021) on q/k heads:
+    x [..., S, dh] rotated pairwise by angle pos * 10000^(-2i/dh)
+    (half-split convention); pos [S] absolute positions"""
+    dh = x.shape[-1]
+    half = dh // 2
+    inv = 10000.0 ** (-2.0 * jnp.arange(half, dtype=jnp.float32) / dh)
+    ang = pos.astype(jnp.float32)[:, None] * inv[None, :]   # [S, half]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin,
+                            x1 * sin + x2 * cos], axis=-1)
+
+
 def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True,
-             causal: bool = False):
+             causal: bool = False, rope: bool = False):
     """multi-head self-attention layer: x [N, S, E, 1], wqkv [3E, E],
     wo [E, E] -> [N, S, E, 1].  Long aligned sequences route the core
     through the Pallas flash kernel; short ones (and the backward
@@ -164,6 +178,10 @@ def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True,
     q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))   # [N, h, S, dh]
     k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
     v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+    if rope:
+        pos = jnp.arange(s)
+        q = rope_apply(q, pos)
+        k = rope_apply(k, pos)
     if (flash and not causal and s >= 512 and s % 256 == 0
             and dh % 128 == 0 and jax.default_backend() == "tpu"):
         from ..ops.attn_pallas import flash_attention
@@ -187,22 +205,25 @@ def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True,
     return out.reshape(n, s, e, 1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def attn_op(x, wqkv, wo, heads: int, causal: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def attn_op(x, wqkv, wo, heads: int, causal: bool = False,
+            rope: bool = False):
     """differentiable MHA: flash forward, XLA-recompute backward"""
-    return _mha_fwd(x, wqkv, wo, heads, flash=True, causal=causal)
+    return _mha_fwd(x, wqkv, wo, heads, flash=True, causal=causal,
+                    rope=rope)
 
 
-def _attn_op_fwd(x, wqkv, wo, heads, causal):
-    return (_mha_fwd(x, wqkv, wo, heads, flash=True, causal=causal),
+def _attn_op_fwd(x, wqkv, wo, heads, causal, rope):
+    return (_mha_fwd(x, wqkv, wo, heads, flash=True, causal=causal,
+                     rope=rope),
             (x, wqkv, wo))
 
 
-def _attn_op_bwd(heads, causal, res, g):
+def _attn_op_bwd(heads, causal, rope, res, g):
     x, wqkv, wo = res
     _, vjp = jax.vjp(
         lambda x_, w1, w2: _mha_fwd(x_, w1, w2, heads, flash=False,
-                                    causal=causal),
+                                    causal=causal, rope=rope),
         x, wqkv, wo)
     return vjp(g)
 
@@ -296,7 +317,8 @@ def _apply_layer(spec, x, p, key):
         return _upsample_fwd(x, opts[0]), None
     if kind == Layer.ATTN:
         return attn_op(x, p[0], p[1], opts[0],
-                       bool(opts[1]) if len(opts) > 1 else False), None
+                       bool(opts[1]) if len(opts) > 1 else False,
+                       bool(opts[2]) if len(opts) > 2 else False), None
     if kind == Layer.MOE:
         return _moe_fwd(x, p[0], p[1], opts[2]), None
     if kind == Layer.LNORM:
@@ -429,7 +451,8 @@ def _bwd_body(program, train, tgt, x0, outs, params, masks, dws, dbs):
                 _, vjp = jax.vjp(
                     lambda x_, w1, w2: _mha_fwd(
                         x_, w1, w2, opts[0], flash=False,
-                        causal=bool(opts[1]) if len(opts) > 1 else False),
+                        causal=bool(opts[1]) if len(opts) > 1 else False,
+                        rope=bool(opts[2]) if len(opts) > 2 else False),
                     x_in, params[j][0], params[j][1])
                 dx, dw, dwo = vjp(dy.reshape(out_shape))
                 if train:

@@ -125,7 +125,7 @@ class Model:
         elif fn == Layer.USAMPLE:
             self._iup(t_in, int(n), bias)
         elif fn == Layer.ATTN:
-            self._iattn(t_in, int(n), bias > 0.5)
+            self._iattn(t_in, int(n), int(bias))
         elif fn == Layer.MOE:
             self._imoe(t_in, int(n), int(bias), opt or [2])
         elif fn == Layer.LNORM:
@@ -229,14 +229,18 @@ class Model:
         t_in.xparm = m
         self.npush(self._T4(t_in.N(), t_in.H(), t_in.W(), t_in.C()))
 
-    def _iattn(self, t_in: Tensor, heads: int, causal: bool = False):
+    def _iattn(self, t_in: Tensor, heads: int, flags: int = 0):
         """multi-head self-attention layer (extension): input [N,S,E,1];
         wqkv [1,3E,E,1] in the weight slot, wo [1,E,E,1] in the bias slot
-        (the optimizer treats slot pairs generically)"""
+        (the optimizer treats slot pairs generically).  flags bit0 =
+        causal mask, bit1 = rotary position embedding (RoPE)"""
         N1, S = t_in.N(), t_in.H()
         E = t_in.W() * t_in.C()
         if heads < 1 or E % heads:
             self._err(f"attn E={E} not divisible by heads={heads}")
+            return
+        if (flags & 2) and (E // heads) % 2:
+            self._err(f"attn rope needs even head dim, got {E // heads}")
             return
         wqkv = self._T4(1, 3 * E, E, 1)
         wo = self._T4(1, E, E, 1)
@@ -244,7 +248,7 @@ class Model:
         t_in.grad[2] = self._T4(1, 3 * E, E, 1)
         t_in.grad[3] = self._T4(1, E, E, 1)
         t_in.iparm = heads
-        t_in.xparm = 1.0 if causal else 0.0
+        t_in.xparm = float(flags & 3)
         k = math.sqrt(1.0 / (2 * E))
         if Config.MM_DEBUG:
             wqkv.set_numpy(np.full(wqkv.numel, 0.5, np.float32))
@@ -360,7 +364,8 @@ class Model:
             if kind in (Layer.CONV, Layer.DCONV):
                 opts = (t_in.stride[0], t_in.stride[2])
             elif kind == Layer.ATTN:
-                opts = (t_in.iparm, float(t_in.xparm) > 0.5)
+                flags = int(float(t_in.xparm))
+                opts = (t_in.iparm, bool(flags & 1), bool(flags & 2))
             elif kind == Layer.MOE:
                 opts = (t_in.iparm, t_in.stride[1], t_in.stride[0])
             elif kind == Layer.LNORM:

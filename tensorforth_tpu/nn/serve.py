@@ -76,6 +76,10 @@ def _step_token(program, params, caches, tok, t, s_max):
             q = qkv[:, 0]                               # [N, h, dh]
             k1 = qkv[:, 1]
             v1 = qkv[:, 2]
+            if len(opts) > 2 and opts[2]:               # RoPE at pos t
+                pos = jnp.asarray(t, jnp.int32).reshape(1)
+                q = funcs.rope_apply(q[:, :, None, :], pos)[:, :, 0]
+                k1 = funcs.rope_apply(k1[:, :, None, :], pos)[:, :, 0]
             ck, cv = new_caches[ci]
             ck = jax.lax.dynamic_update_index_in_dim(ck, k1, t, 2)
             cv = jax.lax.dynamic_update_index_in_dim(cv, v1, t, 2)
@@ -97,12 +101,32 @@ def _step_token(program, params, caches, tok, t, s_max):
     return x.reshape(n, -1), tuple(new_caches)
 
 
+def _filter_top_k(logits, k: int):
+    """keep the k largest logits per row, mask the rest"""
+    vals, _ = jax.lax.top_k(logits, k)
+    kth = vals[..., -1:]
+    return jnp.where(logits < kth, -1.0e30, logits)
+
+
+def _filter_top_p(logits, p: float):
+    """nucleus sampling: keep the smallest set of tokens whose
+    cumulative probability reaches p (the first token always survives)"""
+    sl = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sl, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < p                   # exclusive prefix mass
+    thr = jnp.min(jnp.where(keep, sl, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < thr, -1.0e30, logits)
+
+
 @partial(jax.jit,
-         static_argnames=("program", "s_max", "n_prompt", "temp"))
+         static_argnames=("program", "s_max", "n_prompt", "temp",
+                          "top_k", "top_p"))
 def _generate(program, params, prompt, s_max: int, n_prompt: int,
-              temp: float, key):
+              temp: float, key, top_k: int = 0, top_p: float = 0.0):
     """prompt [N, n_prompt] int32 -> ids [N, s_max] (prefill + decode
-    in one scanned executable; greedy when temp == 0)"""
+    in one scanned executable; greedy when temp == 0; optional top-k
+    and/or nucleus top-p filtering before the categorical draw)"""
     n = prompt.shape[0]
     heads_dims = []
     for kind, opts, shape in program:
@@ -123,7 +147,12 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
                                      s_max)
         if temp > 0.0:
             key, sub = jax.random.split(key)
-            nxt = jax.random.categorical(sub, logits / temp, axis=-1)
+            lg = logits / temp
+            if 0 < top_k < lg.shape[-1]:
+                lg = _filter_top_k(lg, top_k)
+            if 0.0 < top_p < 1.0:
+                lg = _filter_top_p(lg, top_p)
+            nxt = jax.random.categorical(sub, lg, axis=-1)
         else:
             nxt = jnp.argmax(logits, axis=-1)
         # within the prompt, the next token is given (prefill);
@@ -142,8 +171,9 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
 
 
 def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
-             seed: int = 0):
-    """prompt_ids: [N, S0] (or [S0]) int array -> [N, S0+n_new] ids"""
+             seed: int = 0, top_k: int = 0, top_p: float = 0.0):
+    """prompt_ids: [N, S0] (or [S0]) int array -> [N, S0+n_new] ids;
+    temp=0 is greedy; top_k/top_p filter the distribution when temp>0"""
     program = model._program()
     _check_program(program)
     params = model._params()
@@ -153,6 +183,7 @@ def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
         p = p[None]
     s_max = p.shape[1] + n_new
     ids = _generate(program, params, jnp.asarray(p), s_max, p.shape[1],
-                    float(temp), jax.random.PRNGKey(seed))
+                    float(temp), jax.random.PRNGKey(seed),
+                    int(top_k), float(top_p))
     out = np.asarray(ids)
     return out[0] if squeeze else out

@@ -336,14 +336,16 @@ class NetVM(TensorVM):
         CODE("batchnorm", lambda vm: vm._nnop(Layer.BATCHNM))
         # --- pooling / dropout / upsample ----------------------------------------------
         def _attn(vm):
-            """( M [causal] h -- M' ) multi-head self-attention layer over
-            the model's [N, S, E, 1] activations; optional causal flag
-            masks future positions (extension word; the reference's
-            roadmap tier — see nn/funcs.py _mha_fwd)"""
+            """( M [flags] h -- M' ) multi-head self-attention layer over
+            the model's [N, S, E, 1] activations; optional flags:
+            bit0 (1) = causal mask, bit1 (2) = rotary position embedding
+            (RoPE) on q/k — e.g. `3 8 nn.attn` is a causal RoPE layer
+            (extension word; the reference's roadmap tier — see
+            nn/funcs.py _mha_fwd)"""
             if vm.M2V():
                 h = vm.POPi()
-                causal = 1.0 if vm.POPi() else 0.0
-                vm.MTOS().add(Layer.ATTN, h, causal)
+                flags = float(vm.POPi() & 3)
+                vm.MTOS().add(Layer.ATTN, h, flags)
             elif vm.M1V():
                 h = vm.POPi()
                 vm.MTOS().add(Layer.ATTN, h)
@@ -621,27 +623,35 @@ class NetVM(TensorVM):
                         f"final loss={loss:.6g}\n")
         CODE("nn.pipe", _nn_pipe)
         def _nn_gen(vm):
-            """( M T n [temp] -- M T' ) extension word: autoregressive
-            generation — extend the id sequence T by n tokens with a
-            KV-cache decode loop compiled to ONE device program
-            (nn/serve.py; temp=0/omitted is greedy)."""
-            temp = 0.0
-            if (vm.ss.size() > 2 and vm.IS_M(vm.ss[-3])
-                    and IS_OBJ(vm.ss[-2]) and not IS_OBJ(vm.ss[-1])
-                    and not IS_OBJ(vm.tos)):
-                temp = vm.fpop()
-            if not (vm.ss.size() > 1 and vm.IS_M(vm.ss[-2])
-                    and IS_OBJ(vm.ss[-1]) and not IS_OBJ(vm.tos)):
-                vm.sys.perr("", "M T n [temp] nn.gen? ")
+            """( M T n [temp [topk [topp]]] -- M T' ) extension word:
+            autoregressive generation — extend the id sequence T by n
+            tokens with a KV-cache decode loop compiled to ONE device
+            program (nn/serve.py).  temp=0/omitted is greedy; with
+            temp>0, optional top-k then nucleus top-p filtering shape
+            the categorical draw (0 disables either)."""
+            # count the trailing scalars above T (1..4: n temp k p)
+            vals = [vm.tos] + [vm.ss[-i]
+                               for i in range(1, min(vm.ss.size(), 6))]
+            c = 0
+            while c < min(len(vals), 4) and not IS_OBJ(vals[c]):
+                c += 1
+            if not (1 <= c <= 4 and c + 1 < len(vals)
+                    and IS_OBJ(vals[c]) and vm.IS_M(vals[c + 1])):
+                vm.sys.perr("", "M T n [temp [topk [topp]]] nn.gen? ")
                 return
-            n_new = vm.POPi()
+            sc = [vm.fpop() for _ in range(c)]    # top-of-stack first
+            n_new = int(sc[-1])
+            temp = float(sc[-2]) if c >= 2 else 0.0
+            top_k = int(sc[-3]) if c >= 3 else 0
+            top_p = float(sc[-4]) if c >= 4 else 0.0
             tv = vm.POP()
             t = vm.mmu.du2obj(tv)
             m = vm.MTOS()
             from ..nn.serve import generate
             ids = t.numpy().reshape(-1)
             out = generate(m, ids, n_new, temp=temp,
-                           seed=vm.sys.next_key() & 0x7FFFFFFF)
+                           seed=vm.sys.next_key() & 0x7FFFFFFF,
+                           top_k=top_k, top_p=top_p)
             ot = vm.mmu.tensor(out.shape[0])
             ot.set_numpy(out.astype(np.float32))
             vm.DROP_DU(tv)
