@@ -397,22 +397,33 @@ def get_backward(program, in_shape, train: bool):
 
 
 def _bwd_body(program, train, tgt, x0, outs, params, masks, dws, dbs):
+    # dLoss prep (reference _bprep, backprop.cu:75-109): the fused
+    # final-activation+loss pairs become out-tgt; any other final
+    # layer means tgt already IS dLoss (e.g. GAN G <- D input grad)
+    if program[-1][0] in (Layer.LINEAR, Layer.SIGMOID,
+                          Layer.SOFTMAX, Layer.LOGSMAX):
+        dy = outs[-1] - tgt.reshape(outs[-1].shape)
+    else:
+        dy = tgt.reshape(outs[-1].shape)
+    _, dxs, ndws, ndbs = backward_segment(
+        program, train, dy, x0, outs, params, masks, dws, dbs, tail=True)
+    return dy, dxs, ndws, ndbs
+
+
+def backward_segment(program, train, dy, x0, outs, params, masks,
+                     dws, dbs, tail=False):
+        """word-path per-layer backward over a program SEGMENT given the
+        cotangent dy at the segment's output (no dLoss prep).  tail=True
+        enables the final-LINEAR pass-through quirk (only correct for
+        the segment that ends the network).  The pipeline tier composes
+        this per stage so `nn.pipe` gradients are word-path exact."""
         L = len(program)
         dxs = [None] * L
         ndws, ndbs = list(dws), list(dbs)
-        # dLoss prep (reference _bprep, backprop.cu:75-109): the fused
-        # final-activation+loss pairs become out-tgt; any other final
-        # layer means tgt already IS dLoss (e.g. GAN G <- D input grad)
-        if program[-1][0] in (Layer.LINEAR, Layer.SIGMOID,
-                              Layer.SOFTMAX, Layer.LOGSMAX):
-            dy = outs[-1] - tgt.reshape(outs[-1].shape)
-        else:
-            dy = tgt.reshape(outs[-1].shape)
-        dout = dy
         for j in range(L - 1, -1, -1):
             kind, opts, out_shape = program[j]
             x_in = outs[j - 1] if j > 0 else x0
-            last = (j == L - 1)
+            last = tail and (j == L - 1)
             if kind in _PASS_THRU or (kind == Layer.LINEAR and last):
                 dx = dy.reshape(x_in.shape)
             elif kind == Layer.FLATTEN:
@@ -508,7 +519,7 @@ def _bwd_body(program, train, tgt, x0, outs, params, masks, dws, dbs):
             dx = dx.reshape(x_in.shape)
             dxs[j] = dx
             dy = dx
-        return dout, tuple(dxs), tuple(ndws), tuple(ndbs)
+        return dy, tuple(dxs), tuple(ndws), tuple(ndbs)
 
 
 # ===========================================================================

@@ -126,14 +126,72 @@ def _rebatch(spec, mb: int):
     return (kind, opts, (mb,) + tuple(shape[1:]))
 
 
+_Z1 = None
+
+
+def make_wordpath_segment(seg_prog, key_base: int, tail: bool = False):
+    """custom-vjp segment applier: forward chains funcs._apply_layer,
+    backward applies the word-path per-layer rules (pass-through
+    sigmoid/softmax/final-linear, masked activations — the reference's
+    backprop.cu quirks) via funcs.backward_segment.  Differentiating a
+    pipeline built from these segments therefore yields gradients
+    IDENTICAL to the sequential word loop: scan/ppermute transposition
+    provides the reverse GPipe schedule, the segment vjp provides the
+    word-path math.  tail=True marks the segment that ends the network
+    (enables the final-LINEAR pass-through quirk)."""
+    from ..nn import funcs
+    global _Z1
+    if _Z1 is None:
+        _Z1 = jnp.zeros((1,), jnp.float32)
+    key0 = jax.random.PRNGKey(0)
+
+    def _run(p, x):
+        outs, masks = [], []
+        xi = x
+        for j, spec in enumerate(seg_prog):
+            xi, m = funcs._apply_layer(
+                spec, xi, p[j], jax.random.fold_in(key0, key_base + j))
+            xi = xi.reshape(spec[2])
+            outs.append(xi)
+            masks.append(m)
+        return xi, tuple(outs), tuple(masks)
+
+    @jax.custom_vjp
+    def apply(p, x):
+        return _run(p, x)[0]
+
+    def fwd_rule(p, x):
+        y, outs, masks = _run(p, x)
+        return y, (p, x, outs, masks)
+
+    def bwd_rule(res, dy):
+        p, x, outs, masks = res
+        dws0 = tuple(jnp.zeros_like(pl[0]) if pl else _Z1 for pl in p)
+        dbs0 = tuple(jnp.zeros_like(pl[1]) if pl else _Z1 for pl in p)
+        dx, _, dws, dbs = funcs.backward_segment(
+            seg_prog, True, dy, x, outs, p, masks, dws0, dbs0, tail=tail)
+        dp = tuple(
+            (dws[j].reshape(p[j][0].shape), dbs[j].reshape(p[j][1].shape))
+            if p[j] else () for j in range(len(p)))
+        return dp, dx
+
+    apply.defvjp(fwd_rule, bwd_rule)
+    return apply
+
+
 def train_pipeline(model, ds, lr: float, epochs: int, stages: int,
                    trace: int = 0) -> float:
     """fused pipeline-parallel training behind the `nn.pipe` word:
     the model's repeated body runs GPipe-style over a 'pp' mesh axis
-    (microbatches circulate on ICI via ppermute), the head replicates,
-    grads come from jax.grad through the differentiable pipeline, and
-    the update is the reference's uncorrected Adam.  Trained params are
-    written back into the interpreter's model (table-driven)."""
+    (microbatches circulate on ICI via ppermute), the head replicates.
+    Gradients are WORD-PATH EXACT: every segment is a custom-vjp whose
+    backward runs funcs.backward_segment (the reference's backprop.cu
+    quirks), the loss cotangent is seeded as out-tgt (_bprep), and the
+    update is the reference's uncorrected Adam — so given the same
+    batches, nn.pipe reproduces the sequential `forward backprop
+    nn.adam` loop bit-for-bit up to float reassociation.  Trained
+    params are written back into the interpreter's model
+    (table-driven)."""
     import numpy as np  # noqa: F401
     from ..nn import funcs
     from ..nn.train import (_stage_batches, write_back, ADAM_B1, ADAM_B2,
@@ -147,6 +205,10 @@ def train_pipeline(model, ds, lr: float, epochs: int, stages: int,
         # masks across every batch/epoch — refuse rather than silently
         # train a fixed pruned subnetwork
         raise ValueError("nn.pipe: dropout layers are not supported")
+    if any(kind == Layer.BATCHNM for kind, _o, _s in program):
+        # batch statistics would be computed per MICRObatch, silently
+        # diverging from the sequential full-batch semantics
+        raise ValueError("nn.pipe: batchnorm layers are not supported")
     stem, blk = split_stages(program, params, stages)
     body_n = stem + blk * stages
     batch = model[0].N()
@@ -172,40 +234,35 @@ def train_pipeline(model, ds, lr: float, epochs: int, stages: int,
     psh = NamedSharding(mesh, P("pp"))
     stacked = jax.tree.map(lambda a: jax.device_put(a, psh), stacked)
 
-    key0 = jax.random.PRNGKey(0)
+    stem_apply = make_wordpath_segment(stem_prog, 500)
+    block_apply = make_wordpath_segment(block_prog, 0)
+    head_apply = make_wordpath_segment(head_prog, 99, tail=True)
 
-    def stem_fn(sp, x):
-        for j, spec in enumerate(stem_prog):
-            x, _ = funcs._apply_layer(spec, x, sp[j],
-                                      jax.random.fold_in(key0, 500 + j))
-            x = x.reshape(spec[2])
-        return x
+    pipe = pipeline_apply(block_apply, mesh, stages)
 
-    def stage_fn(p, x):
-        for i, spec in enumerate(block_prog):
-            x, _ = funcs._apply_layer(spec, x, p[i],
-                                      jax.random.fold_in(key0, i))
-            x = x.reshape(spec[2])
-        return x
-
-    def head_fn(hp, h, hot):
-        x = h.reshape((batch,) + tuple(program[body_n - 1][2][1:]))
-        for j, spec in enumerate(head_prog):
-            x, _ = funcs._apply_layer(spec, x, hp[j],
-                                      jax.random.fold_in(key0, 99 + j))
-            x = x.reshape(spec[2])
-        n = x.shape[0]
-        return -jnp.sum(hot.reshape(-1)
-                        * jnp.log(jnp.maximum(x.reshape(-1),
-                                              funcs.LN_CLAMP))) / n
-
-    pipe = pipeline_apply(stage_fn, mesh, stages)
-
-    def loss_fn(st, sp, hp, x, hot):
-        h0 = stem_fn(sp, x)
+    def fwd_all(st, sp, hp, x):
+        h0 = stem_apply(sp, x)
         x_micro = h0.reshape((n_micro, mb) + tuple(h0.shape[1:]))
         h = pipe(st, x_micro)
-        return head_fn(hp, h, hot)
+        xh = h.reshape((batch,) + tuple(program[body_n - 1][2][1:]))
+        return head_apply(hp, xh)
+
+    final_fused = program[-1][0] in (Layer.LINEAR, Layer.SIGMOID,
+                                     Layer.SOFTMAX, Layer.LOGSMAX)
+
+    def batch_grads(st, sp, hp, x, hot):
+        """loss + word-path gradients: jax.vjp over the pipelined
+        network seeded with the reference's dLoss prep (out - tgt)"""
+        out, vjp = jax.vjp(
+            lambda st_, sp_, hp_: fwd_all(st_, sp_, hp_, x), st, sp, hp)
+        n = out.shape[0]
+        lval = -jnp.sum(hot.reshape(-1)
+                        * jnp.log(jnp.maximum(out.reshape(-1),
+                                              funcs.LN_CLAMP))) / n
+        hotr = hot.reshape(out.shape)
+        dy = out - hotr if final_fused else hotr
+        gs, gp, gh = vjp(dy)
+        return lval, gs, gp, gh
 
     lr_ = jnp.float32(lr)
 
@@ -244,8 +301,7 @@ def train_pipeline(model, ds, lr: float, epochs: int, stages: int,
         def body(carry, xy):
             st, sp, hp, (m1, v1, m0, v0, m2, v2) = carry
             x, hot = xy
-            lval, (gs, gp, gh) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2))(st, sp, hp, x, hot)
+            lval, gs, gp, gh = batch_grads(st, sp, hp, x, hot)
             st, m1, v1 = adam_tree(st, gs, m1, v1)
             sp, m0, v0 = adam_tree(sp, gp, m0, v0)
             hp, m2, v2 = adam_tree(hp, gh, m2, v2)

@@ -102,13 +102,14 @@ def test_moe_expert_parallel_matches_replicated(t4, monkeypatch):
 
 @needs_mesh
 def test_nn_pipe_matches_sequential(t4, monkeypatch):
-    """train_pipeline (the nn.pipe word's engine) must produce the same
-    update as a sequential autodiff step with the reference's
-    uncorrected Adam on the same model"""
+    """train_pipeline (the nn.pipe word's engine) must reproduce the
+    WORD PATH exactly: same gradients as funcs.backward_pure (reference
+    backprop.cu quirks incl. the out-tgt dLoss prep and pass-through
+    softmax) and the reference's uncorrected Adam — i.e. the same step
+    nn.train takes, which test_train_equiv pins to the word loop"""
     monkeypatch.delenv("T4_MAX_BATCH", raising=False)
     from tensorforth_tpu.models import tiny_transformer
-    from tensorforth_tpu.nn import funcs
-    from tensorforth_tpu.nn.train import ADAM_B1, ADAM_B2, ADAM_EPS
+    from tensorforth_tpu.nn.train import make_ref_batch_step
     from tensorforth_tpu.parallel.pipeline import train_pipeline
 
     rs = np.random.RandomState(1)
@@ -126,34 +127,22 @@ def test_nn_pipe_matches_sequential(t4, monkeypatch):
     lr = 0.01
     lp = train_pipeline(a, _DS(data, labels, 8), lr=lr, epochs=1, stages=4)
 
-    # sequential comparator: same autodiff CE loss + uncorrected Adam
+    # word-path comparator: the exact step the sequential word loop takes
     program = b._program()
     params = b._params()
-
-    def loss_fn(p):
-        outs, _ = funcs.forward_pure(program, jnp.asarray(data), p,
-                                     jax.random.PRNGKey(0))
-        o = outs[-1].reshape(-1)
-        return -jnp.sum(hot.reshape(-1)
-                        * jnp.log(jnp.maximum(o, funcs.LN_CLAMP))) / 8
-
-    lval, grads = jax.value_and_grad(loss_fn)(params)
-    new_p = []
-    for pl, gl in zip(params, grads):
-        npl = []
-        for w, g in zip(pl, gl):
-            m = (1.0 - ADAM_B1) * g
-            v = (1.0 - ADAM_B2) * g * g
-            npl.append(w - lr * m / (jnp.sqrt(v) + ADAM_EPS))
-        new_p.append(tuple(npl))
+    step = make_ref_batch_step(program, lr)
+    zm = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
+    zv = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
+    new_p, _m, _v, lval = step(params, zm, zv, jnp.asarray(data),
+                               jnp.asarray(hot), jax.random.PRNGKey(0))
 
     np.testing.assert_allclose(lp, float(lval), rtol=1e-4)
     pa = _snapshot(a)
     for j, (got, want) in enumerate(zip(pa, new_p)):
         for k, (w1, w2) in enumerate(zip(got, want)):
             np.testing.assert_allclose(
-                w1, np.asarray(w2), rtol=2e-3, atol=2e-4,
-                err_msg=f"layer {j} param {k}: pipelined != sequential")
+                w1, np.asarray(w2), rtol=1e-4, atol=1e-5,
+                err_msg=f"layer {j} param {k}: pipelined != word path")
 
 
 @needs_mesh
