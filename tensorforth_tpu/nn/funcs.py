@@ -377,6 +377,14 @@ _MASKED = (Layer.RELU, Layer.TANH, Layer.SELU, Layer.LEAKYRL,
            Layer.ELU, Layer.DROPOUT)
 
 
+def _acc(a, g):
+    """accumulate a gradient into an accumulator of ANY equal-numel
+    shape — the reshape is free inside jit, and it lets the interpreter
+    pass its rank-4 storage tensors directly (no per-batch host-side
+    reshape dispatches on the word path)"""
+    return a + g.reshape(jnp.shape(a))
+
+
 def backward_pure(program, train, tgt, x0, outs, params, masks, dws, dbs):
     """un-jitted whole-network backward with the reference quirks
     (pass-through sigmoid/softmax/final-linear, masked activations);
@@ -437,9 +445,9 @@ def backward_segment(program, train, dy, x0, outs, params, masks,
                 xf = x_in.reshape(n, -1)
                 dyf = dy.reshape(n, -1)
                 if train:
-                    ndbs[j] = ndbs[j] + jnp.sum(dyf, axis=0)
-                    ndws[j] = ndws[j] + jnp.dot(
-                        dyf.T, xf, preferred_element_type=jnp.float32)
+                    ndbs[j] = _acc(ndbs[j], jnp.sum(dyf, axis=0))
+                    ndws[j] = _acc(ndws[j], jnp.dot(
+                        dyf.T, xf, preferred_element_type=jnp.float32))
                 dx = jnp.dot(dyf, params[j][0],
                              preferred_element_type=jnp.float32
                              ).reshape(x_in.shape)
@@ -450,8 +458,8 @@ def backward_segment(program, train, dy, x0, outs, params, masks,
                     x_in, params[j][0], params[j][1])
                 dx, dw, db = vjp(dy.reshape(out_shape))
                 if train:
-                    ndws[j] = ndws[j] + dw
-                    ndbs[j] = ndbs[j] + db
+                    ndws[j] = _acc(ndws[j], dw)
+                    ndbs[j] = _acc(ndbs[j], db)
             elif kind in (Layer.MAXPOOL, Layer.AVGPOOL, Layer.MINPOOL):
                 _, vjp = jax.vjp(lambda x_: _pool_fwd(kind, x_, opts[0]), x_in)
                 dx, = vjp(dy.reshape(out_shape))
@@ -467,24 +475,24 @@ def backward_segment(program, train, dy, x0, outs, params, masks,
                     x_in, params[j][0], params[j][1])
                 dx, dw, dwo = vjp(dy.reshape(out_shape))
                 if train:
-                    ndws[j] = ndws[j] + dw
-                    ndbs[j] = ndbs[j] + dwo
+                    ndws[j] = _acc(ndws[j], dw)
+                    ndbs[j] = _acc(ndbs[j], dwo)
             elif kind == Layer.MOE:
                 _, vjp = jax.vjp(
                     lambda x_, w1, w2: _moe_fwd(x_, w1, w2, opts[2]),
                     x_in, params[j][0], params[j][1])
                 dx, dw1, dw2 = vjp(dy.reshape(out_shape))
                 if train:
-                    ndws[j] = ndws[j] + dw1
-                    ndbs[j] = ndbs[j] + dw2
+                    ndws[j] = _acc(ndws[j], dw1)
+                    ndbs[j] = _acc(ndbs[j], dw2)
             elif kind == Layer.LNORM:
                 _, vjp = jax.vjp(
                     lambda x_, g_, b_: _lnorm_fwd(x_, g_, b_, opts[0]),
                     x_in, params[j][0], params[j][1])
                 dx, dg, db = vjp(dy.reshape(out_shape))
                 if train:
-                    ndws[j] = ndws[j] + dg
-                    ndbs[j] = ndbs[j] + db
+                    ndws[j] = _acc(ndws[j], dg)
+                    ndbs[j] = _acc(ndbs[j], db)
             elif kind == Layer.EMBED:
                 # token ids get no input gradient; the table's gradient
                 # is the scatter-add of dy over looked-up rows
@@ -493,8 +501,8 @@ def backward_segment(program, train, dy, x0, outs, params, masks,
                     params[j][0], params[j][1])
                 dt, db = vjp(dy.reshape(out_shape))
                 if train:
-                    ndws[j] = ndws[j] + dt
-                    ndbs[j] = ndbs[j] + db
+                    ndws[j] = _acc(ndws[j], dt)
+                    ndbs[j] = _acc(ndbs[j], db)
                 dx = jnp.zeros_like(x_in)
             elif kind == Layer.PROJ:
                 _, vjp = jax.vjp(
@@ -502,8 +510,8 @@ def backward_segment(program, train, dy, x0, outs, params, masks,
                     x_in, params[j][0], params[j][1])
                 dx, dw, db = vjp(dy.reshape(out_shape))
                 if train:
-                    ndws[j] = ndws[j] + dw
-                    ndbs[j] = ndbs[j] + db
+                    ndws[j] = _acc(ndws[j], dw)
+                    ndbs[j] = _acc(ndbs[j], db)
             elif kind == Layer.BATCHNM:
                 xhat, rvar = masks[j]
                 gamma = params[j][0]
@@ -511,8 +519,8 @@ def backward_segment(program, train, dy, x0, outs, params, masks,
                 m_dy = jnp.mean(dyr, axis=(0, 1, 2))
                 m_dyxh = jnp.mean(dyr * xhat, axis=(0, 1, 2))
                 if train:
-                    ndbs[j] = ndbs[j] + m_dy
-                    ndws[j] = ndws[j] + m_dyxh
+                    ndbs[j] = _acc(ndbs[j], m_dy)
+                    ndws[j] = _acc(ndws[j], m_dyxh)
                 dx = gamma * rvar * (dyr - m_dy - xhat * m_dyxh)
             else:
                 dx = dy.reshape(x_in.shape)

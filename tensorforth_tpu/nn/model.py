@@ -23,6 +23,29 @@ from .ntypes import Layer, Loss, Optimizer
 from . import funcs
 
 _ZERO1 = None                    # lazy shared placeholder gradient
+_F32 = {}                        # host-scalar -> device jnp.float32 memo
+                                 # (a fresh upload per batch costs a
+                                 # tunnel round-trip on the TPU path)
+
+
+def _jf32(v: float):
+    v = float(v)
+    r = _F32.get(v)
+    if r is None:
+        if len(_F32) > 4096:     # pathological lr sweeps: don't leak
+            _F32.clear()
+        r = _F32[v] = jnp.float32(v)
+    return r
+
+
+_KEY0 = None
+
+
+def _key0():
+    global _KEY0
+    if _KEY0 is None:
+        _KEY0 = jax.random.PRNGKey(0)
+    return _KEY0
 
 
 class Model:
@@ -392,16 +415,16 @@ class Model:
                             t_in.grad[1].ensure_data()))
             elif kind in (Layer.LINEAR, Layer.EMBED, Layer.PROJ):
                 w = t_in.grad[0]
-                out.append((w.ensure_data().reshape(w.H(), w.W()),
+                out.append((w.data_as(w.H(), w.W()),
                             t_in.grad[1].ensure_data()))
             elif kind == Layer.ATTN:
                 w, wo = t_in.grad[0], t_in.grad[1]
-                out.append((w.ensure_data().reshape(w.H(), w.W()),
-                            wo.ensure_data().reshape(wo.H(), wo.W())))
+                out.append((w.data_as(w.H(), w.W()),
+                            wo.data_as(wo.H(), wo.W())))
             elif kind == Layer.MOE:
                 w1, w2 = t_in.grad[0], t_in.grad[1]
-                out.append((w1.ensure_data().reshape(w1.N(), w1.H(), w1.W()),
-                            w2.ensure_data().reshape(w2.N(), w2.H(), w2.W())))
+                out.append((w1.data_as(w1.N(), w1.H(), w1.W()),
+                            w2.data_as(w2.N(), w2.H(), w2.W())))
             else:
                 out.append(())
         return tuple(out)
@@ -418,9 +441,14 @@ class Model:
                       f"model input {n0.shape}")
             self.err = 1
             return self
-        n0.replace_data(inp.ensure_data().reshape(n0.shape))
+        n0.replace_data(inp.data_as(*n0.shape))
         prog = self._program()
-        key = jax.random.PRNGKey(sys.next_key())
+        # only dropout consumes the key — skip the per-batch device op
+        # (and keep the word path deterministic) when none is present
+        if any(k == Layer.DROPOUT for k, _o, _s in prog):
+            key = jax.random.PRNGKey(sys.next_key())
+        else:
+            key = _key0()
         hot = hit = None
         if inp.is_dataset():
             fwd = funcs.get_forward_with_metrics(prog)
@@ -445,9 +473,7 @@ class Model:
                     jnp.concatenate([jnp.ravel(rvar),
                                      jnp.zeros(2 * C, jnp.float32)]))
             elif t_in.grad[4] is not None:
-                t_in.grad[4].replace_data(m.reshape(t_in.grad[4].shape)
-                                          if m.size == t_in.grad[4].numel
-                                          else m)
+                t_in.grad[4].replace_data(m)
         if inp.is_dataset():
             if self._hot is None:
                 out = self[-1]
@@ -515,8 +541,7 @@ class Model:
             self[j].replace_data(dxs[j])
             t_in = self[j]
             if t_in.grad[2] is not None:
-                w = t_in.grad[2]
-                t_in.grad[2].replace_data(ndws[j].reshape(w.shape))
+                t_in.grad[2].replace_data(ndws[j])
             if t_in.grad[3] is not None:
                 t_in.grad[3].replace_data(ndbs[j])
         from ..system import System
@@ -541,27 +566,16 @@ class Model:
         return tuple(masks)
 
     def _gather_grads(self):
+        """accumulators in their rank-4 STORAGE shapes — backward_segment
+        reshapes increments to match inside the jit, so no host-side
+        reshape dispatch happens per batch"""
         global _ZERO1
         if _ZERO1 is None:
             _ZERO1 = jnp.zeros((1,), jnp.float32)
         dws, dbs = [], []
         for i in range(self.numel - 1):
             t_in = self[i]
-            kind = t_in.grad_fn
-            if kind in (Layer.LINEAR, Layer.EMBED, Layer.PROJ):
-                w = t_in.grad[2]
-                dws.append(w.ensure_data().reshape(w.H(), w.W()))
-                dbs.append(t_in.grad[3].ensure_data())
-            elif kind == Layer.ATTN:
-                w, wo = t_in.grad[2], t_in.grad[3]
-                dws.append(w.ensure_data().reshape(w.H(), w.W()))
-                dbs.append(wo.ensure_data().reshape(wo.H(), wo.W()))
-            elif kind == Layer.MOE:
-                w1, w2 = t_in.grad[2], t_in.grad[3]
-                dws.append(w1.ensure_data().reshape(w1.N(), w1.H(), w1.W()))
-                dbs.append(w2.ensure_data().reshape(w2.N(), w2.H(), w2.W()))
-            elif kind in (Layer.CONV, Layer.DCONV, Layer.BATCHNM,
-                          Layer.LNORM):
+            if t_in.grad[2] is not None:
                 dws.append(t_in.grad[2].ensure_data())
                 dbs.append(t_in.grad[3].ensure_data())
             else:
@@ -641,20 +655,18 @@ class Model:
         momentum = abs(b) > Config.DU_EPS
         op = Optimizer.SGDM if momentum else Optimizer.SGD
         fn = funcs.get_sgd(self._ndivs(), momentum)
-        return self._opt_apply(op, fn, jnp.float32(lr), jnp.float32(b))
+        return self._opt_apply(op, fn, _jf32(lr), _jf32(b))
 
     def adam(self, lr: float, b1: float = 0.9, b2: float = 0.999) -> "Model":
         fn = funcs.get_adam(False)
-        return self._opt_apply(Optimizer.ADAM, fn, jnp.float32(lr),
-                               jnp.float32(b1), jnp.float32(b2),
-                               jnp.float32(0.0))
+        return self._opt_apply(Optimizer.ADAM, fn, _jf32(lr),
+                               _jf32(b1), _jf32(b2), _jf32(0.0))
 
     def adamw(self, lr: float, wd: float = 0.01, b1: float = 0.9,
               b2: float = 0.999) -> "Model":
         fn = funcs.get_adam(True)
-        return self._opt_apply(Optimizer.ADAMW, fn, jnp.float32(lr),
-                               jnp.float32(b1), jnp.float32(b2),
-                               jnp.float32(wd))
+        return self._opt_apply(Optimizer.ADAMW, fn, _jf32(lr),
+                               _jf32(b1), _jf32(b2), _jf32(wd))
 
     # =========================================================================
     # loss & metrics (reference loss.cpp)
