@@ -99,7 +99,15 @@ def main(argv=None):
     ap.add_argument("--bench", nargs=3, type=int, metavar=("M", "K", "N"),
                     help="run an MxKxN GEMM benchmark and exit "
                          "(reference opt.h GEMM bench dims)")
+    ap.add_argument("--vu", metavar="CORPUS", default=None,
+                    help="interactive terminal corpus viewer "
+                         "(e.g. --vu mnist_train; reference src/vu/)")
     args = ap.parse_args(argv)
+
+    if args.vu:
+        from .io.vu import vu_loop
+        vu_loop(args.vu)
+        return 0
 
     if args.list_devices:
         import jax
