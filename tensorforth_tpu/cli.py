@@ -36,6 +36,12 @@ class TensorForth:
     def __init__(self, fin=None, fout=None, verbose: int = 0,
                  tb_logdir: str = None, tb_run_id: str = None):
         _enable_compile_cache()
+        if os.environ.get("T4_COORD"):       # multi-host cluster bring-up
+            from .parallel.dist import init_distributed
+            rank, nproc = init_distributed()
+            if verbose:
+                print(f"\\ distributed: process {rank}/{nproc}, "
+                      f"{__import__('jax').device_count()} global devices")
         self.sys = System.get_sys(fin, fout, verbose)
         self.sys.mu = MMU.get_mmu()
         self.sys.db = Debug.get_db(self.sys)

@@ -57,12 +57,13 @@ def _stage_batches(ds, model, max_batches: int | None = None):
 
 def _mesh_from_env():
     """T4_MESH=dp4,tp2 -> (dp, tp) mesh; T4_MESH=dp2,ep4 -> (dp, ep)
-    expert-parallel mesh (MoE experts shard, dense layers replicate)"""
+    expert-parallel mesh (MoE experts shard, dense layers replicate).
+    Multi-host (T4_COORD/T4_NPROC set): the mesh spans the global device
+    set with dp host-major so only the dp all-reduce crosses DCN."""
     import os
     spec = os.environ.get("T4_MESH")
     if not spec:
         return None
-    from ..parallel.mesh import make_mesh
     dp = tp = ep = None
     for part in spec.split(","):
         part = part.strip()
@@ -72,6 +73,11 @@ def _mesh_from_env():
             tp = int(part[2:])
         elif part.startswith("ep"):
             ep = int(part[2:])
+    import jax
+    if jax.process_count() > 1:
+        from ..parallel.dist import make_global_mesh
+        return make_global_mesh(dp=dp, tp=tp, ep=ep)
+    from ..parallel.mesh import make_mesh
     n = (dp or 1) * (tp or 1) * (ep or 1)
     return make_mesh(n, dp=dp, tp=tp, ep=ep)
 
