@@ -286,8 +286,11 @@ def main():
     except Exception:
         lm_tps = 0.0
     gate = None
-    if os.environ.get("T4_BENCH_GATE"):
-        gate = run_accuracy_gate(epochs=20)
+    if os.environ.get("T4_BENCH_GATE", "1") != "0":    # default ON
+        try:
+            gate = run_accuracy_gate(epochs=20)
+        except Exception as e:
+            print(f"[bench] gate failed: {e}", file=sys.stderr, flush=True)
     best = max(gf_xla, gf_pal)
     details = {
         "device": str(dev),
