@@ -629,9 +629,10 @@ class NetVM(TensorVM):
             program (nn/serve.py).  temp=0/omitted is greedy; with
             temp>0, optional top-k then nucleus top-p filtering shape
             the categorical draw (0 disables either)."""
-            # count the trailing scalars above T (1..4: n temp k p)
+            # count the trailing scalars above T (1..4: n temp k p);
+            # deepest needed probe is ss[-5] (T and M under 4 scalars)
             vals = [vm.tos] + [vm.ss[-i]
-                               for i in range(1, min(vm.ss.size(), 6))]
+                               for i in range(1, min(vm.ss.size(), 5) + 1)]
             c = 0
             while c < min(len(vals), 4) and not IS_OBJ(vals[c]):
                 c += 1

@@ -136,10 +136,13 @@ def test_nn_gen_word_sampling_forms(t4):
 16 16 nn.embed layernorm 3 4 nn.attn tanh layernorm 16 nn.proj softmax
 constant slm
 4 vector{ 3 1 4 1 } constant spr
-slm spr 8 0.9 2 nn.gen .
-slm spr 8 0.9 2 0.95 nn.gen .""")
-    rows = [l for l in out.split("\n") if "vector[12]" in l]
-    assert len(rows) >= 2, f"sampling nn.gen forms failed: {out[-500:]}"
+slm spr 8 0.9 2 nn.gen . drop""")
+    # full 4-scalar form on an EXACTLY 6-deep stack (regression: the
+    # probe window must reach ss[-5] to see M under T n temp k p)
+    out2 = t4.forth("slm spr 8 0.9 2 0.95 nn.gen . drop")
+    assert "vector[12]" in out, f"top-k form failed: {out[-400:]}"
+    assert "vector[12]" in out2, f"top-p form failed: {out2[-400:]}"
+    assert "nn.gen?" not in out2
 
 
 def test_rope_attn_save_load_roundtrip(t4, tmp_path):
