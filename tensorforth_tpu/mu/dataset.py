@@ -43,8 +43,11 @@ class Dataset(Tensor):
             self.shape = (self.batch_sz, cp.H, cp.W, cp.C)   # re-dimension
             self.rank = 4
             self.data = None
+            self._shape_cache = None
             self.dataset_size = cp.size
             self.batch_id = -1
+            from .mmu import MMU
+            MMU.get_mmu().rebind(self)       # arena slot at the real size
         cp = self._corpus
         if cp is None:
             return self

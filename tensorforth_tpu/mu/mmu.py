@@ -98,6 +98,37 @@ class MMU:
                                 obj._ainit = False
             return obj
 
+    def rebind(self, obj):
+        """re-dimension support: re-allocate the object's TLSF slot (and
+        arena payload binding) to its CURRENT numel.  Datasets discover
+        their real shape on first fetch (reference dataset.cu:64-121) —
+        register() ran before that, so without a rebind they would stay
+        outside the pool in arena mode and mstat would under-report."""
+        with self._mlock:
+            if obj.oid not in self._objs or not hasattr(obj, "numel"):
+                return
+            nbytes = obj.numel * 4
+            self._alloc_bytes += nbytes - self._regsz.get(obj.oid, 0)
+            self._regsz[obj.oid] = nbytes
+            self._peak_bytes = max(self._peak_bytes, self._alloc_bytes)
+            if self._tlsf is None or obj.is_model() or obj.is_future():
+                return
+            off = self._offs.pop(obj.oid, None)
+            if off is not None:
+                self._tlsf.t4_tlsf_free(off)
+            obj.aoff = None
+            noff = self._tlsf.t4_tlsf_malloc(max(nbytes, 4))
+            if noff != (1 << 64) - 1:
+                self._offs[obj.oid] = noff
+                if self.arena is not None:
+                    obj.aoff = noff // 4
+                    if obj.data is not None:
+                        self.arena.write(obj.aoff, obj.data)
+                        obj.data = None
+                        obj._ainit = True
+                    else:
+                        obj._ainit = False
+
     def du2obj(self, v):
         return self._objs.get(obj_id(v))
 

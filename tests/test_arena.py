@@ -143,3 +143,27 @@ amdl batchsize dataset mnist_train constant adst""")
     out = t4a.forth("amdl adst forward loss.ce . backprop 0.01 nn.adam drop")
     v = float(out.strip().split()[0])
     assert 0.0 < v < 50.0
+
+
+def test_arena_dataset_rebinds_into_pool(t4a, monkeypatch):
+    """datasets re-dim on first fetch; the arena slot must be
+    re-allocated at the real batch size and the batch payload must live
+    IN the pool (late-r2: datasets were excluded from arena mode)"""
+    monkeypatch.setenv("T4_MAX_BATCH", "2")
+    from tensorforth_tpu.mu.mmu import MMU
+    t4a.forth("0 trace\n8 28 28 1 nn.model flatten 10 linear softmax "
+              "constant rdm\nrdm batchsize dataset mnist_train constant rdd")
+    mmu = MMU.get_mmu()
+    ds = next(o for o in mmu._objs.values()
+              if getattr(o, "is_dataset", lambda: False)())
+    assert ds.shape == (8, 28, 28, 1)
+    assert ds.aoff is not None, "dataset batch not bound into the pool"
+    assert mmu._regsz[ds.oid] == 8 * 28 * 28 * 4
+    # payload really reads back from the pool slot
+    import numpy as np
+    a = np.asarray(ds.ensure_data())
+    assert a.shape == (8, 28, 28, 1) and np.any(a != 0.0)
+    # epoch loop keeps working through the pool (fetch rewrites in place)
+    out = t4a.forth("rdm rdd forward drop backprop 0.01 nn.adam drop "
+                    "rdd fetch drop rdm rdd forward drop drop")
+    assert "ERROR" not in out
