@@ -219,6 +219,57 @@ variable hit 0 hit ! variable lox
         os.environ.pop("T4_MAX_BATCH", None)
 
 
+def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
+                    n_iter: int = 64):
+    """flash-attention kernel vs the fused XLA einsum path at a serving
+    shape ([batch*heads, S, dh]); reports (pallas, xla) TFLOP/s over
+    the 4*NH*S^2*dh attention FLOPs"""
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.ops.attn_pallas import flash_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (nh, s, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (nh, s, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (nh, s, dh), jnp.float32)
+    flops = 4.0 * nh * s * s * dh * n_iter
+
+    def xla_attn(q, k, v):
+        sc = jnp.einsum("nqd,nkd->nqk", q, k,
+                        preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(sc / jnp.sqrt(jnp.float32(dh)), axis=-1)
+        return jnp.einsum("nqk,nkd->nqd", w, v,
+                          preferred_element_type=jnp.float32)
+
+    def chain(f):
+        @jax.jit
+        def run(q, k, v):
+            def body(q, _):
+                return f(q, k, v), None
+            q, _ = jax.lax.scan(body, q, None, length=n_iter)
+            return q
+        return run
+
+    def timed(fn, tag):
+        print(f"[bench] compiling attention {tag} ...", file=sys.stderr,
+              flush=True)
+        float(fn(q, k, v)[0, 0, 0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(q, k, v)[0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return flops / best / 1e12
+
+    try:
+        tf_pal = timed(chain(lambda q, k, v: flash_attention(q, k, v)),
+                       "pallas-flash")
+    except Exception:
+        tf_pal = 0.0
+    tf_xla = timed(chain(xla_attn), "xla")
+    return tf_pal, tf_xla
+
+
 def bench_serving(batch: int = 8, n_prompt: int = 32, n_new: int = 224):
     """LM decode throughput: KV-cache autoregressive generation
     (nn/serve.py) — prefill + decode as ONE device program"""
@@ -285,6 +336,10 @@ def main():
         lm_tps = bench_serving()
     except Exception:
         lm_tps = 0.0
+    try:
+        attn_pal, attn_xla = bench_attention()
+    except Exception:
+        attn_pal = attn_xla = 0.0
     gate = None
     if os.environ.get("T4_BENCH_GATE", "1") != "0":    # default ON
         try:
@@ -304,6 +359,8 @@ def main():
         "word_epoch_ms_per_batch100": round(wb_ms, 3),
         "word_epoch_samples_per_sec": round(wb_sps, 0),
         "lm_decode_tokens_per_sec": round(lm_tps, 0),
+        "flash_attn_2k_tflops": round(attn_pal, 1),
+        "flash_attn_2k_xla_tflops": round(attn_xla, 1),
         "reference_gemm_gflops": round(REF_GEMM_GFLOPS, 1),
     }
     if gate is not None:
