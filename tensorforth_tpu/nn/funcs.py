@@ -182,12 +182,13 @@ def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True,
         pos = jnp.arange(s)
         q = rope_apply(q, pos)
         k = rope_apply(k, pos)
-    if (flash and not causal and s >= 512 and s % 256 == 0
+    if (flash and s >= 512 and s % 256 == 0
             and dh % 128 == 0 and jax.default_backend() == "tpu"):
         from ..ops.attn_pallas import flash_attention
         o = flash_attention(q.reshape(n * heads, s, dh),
                             k.reshape(n * heads, s, dh),
-                            v.reshape(n * heads, s, dh))
+                            v.reshape(n * heads, s, dh),
+                            causal=causal)
         o = o.reshape(n, heads, s, dh)
     else:
         scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,

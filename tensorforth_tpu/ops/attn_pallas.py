@@ -5,6 +5,10 @@ running max/denominator in VMEM scratch, so the S x S score matrix is
 never materialized in HBM.  Used by the ATTN layer (nn/funcs.py) for
 long sequences; short sequences use the fused XLA path.
 
+Causal mode masks future positions in-kernel and SKIPS fully-masked KV
+blocks (the grid still visits them, but no dot issues), halving the
+effective FLOPs — the long-context LM-training path.
+
 Extension beyond the reference (whose README roadmap names Transformers
 as the next tier, README.md:702-720).
 """
@@ -22,7 +26,8 @@ NEG_INF = -1.0e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
-                  *, bkv: int, scale: float):
+                  *, bq: int, bkv: int, scale: float, causal: bool):
+    q_i = pl.program_id(1)
     kv_i = pl.program_id(2)
 
     @pl.when(kv_i == 0)
@@ -31,30 +36,50 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    q = q_ref[0]                                    # [bq, dh]
-    k = k_ref[0]                                    # [bkv, dh]
-    v = v_ref[0]                                    # [bkv, dh]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    def compute():
+        q = q_ref[0]                                # [bq, dh]
+        k = k_ref[0]                                # [bkv, dh]
+        v = v_ref[0]                                # [bkv, dh]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        if causal:
+            rows = q_i * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bkv), 0)
+            cols = kv_i * bkv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bkv), 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
 
-    m_prev = m_sc[:, 0:1]                           # [bq, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)                          # [bq, bkv]
-    l_new = alpha * l_sc[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
-    acc_sc[:] = acc_sc[:] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
-    m_sc[:, 0:1] = m_new
-    l_sc[:, 0:1] = l_new
+        m_prev = m_sc[:, 0:1]                       # [bq, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                      # [bq, bkv]
+        l_new = alpha * l_sc[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_sc[:] = acc_sc[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        m_sc[:, 0:1] = m_new
+        l_sc[:, 0:1] = l_new
+
+    if causal:
+        # KV blocks entirely in the future contribute nothing: skip the
+        # dots (their loads still happen — block specs are static)
+        @pl.when(kv_i * bkv <= q_i * bq + bq - 1)
+        def _active():
+            compute()
+    else:
+        compute()
 
     @pl.when(kv_i == pl.num_programs(2) - 1)
     def _flush():
         o_ref[0] = acc_sc[:] / l_sc[:, 0:1]
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bkv"))
-def flash_attention(q, k, v, bq: int = 256, bkv: int = 256):
-    """q,k,v: [B, S, dh] (batch*heads flattened) -> [B, S, dh]"""
+@functools.partial(jax.jit,
+                   static_argnames=("bq", "bkv", "causal", "interpret"))
+def flash_attention(q, k, v, bq: int = 256, bkv: int = 256,
+                    causal: bool = False, interpret: bool = False):
+    """q,k,v: [B, S, dh] (batch*heads flattened) -> [B, S, dh];
+    causal=True masks future positions (LM training); interpret=True
+    runs the kernel in the Pallas interpreter (CPU-testable)"""
     b, s, dh = q.shape
     bq = min(bq, s)
     bkv = min(bkv, s)
@@ -62,7 +87,8 @@ def flash_attention(q, k, v, bq: int = 256, bkv: int = 256):
     scale = 1.0 / math.sqrt(dh)
     grid = (b, s // bq, s // bkv)
     return pl.pallas_call(
-        functools.partial(_flash_kernel, bkv=bkv, scale=scale),
+        functools.partial(_flash_kernel, bq=bq, bkv=bkv, scale=scale,
+                          causal=causal),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
@@ -80,8 +106,9 @@ def flash_attention(q, k, v, bq: int = 256, bkv: int = 256):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * s * s * dh,
+            flops=(2 if causal else 4) * b * s * s * dh,
             bytes_accessed=3 * b * s * dh * 4 + b * s * dh * 4,
-            transcendentals=b * s * s,
+            transcendentals=b * s * s // (2 if causal else 1),
         ),
+        interpret=interpret,
     )(q, k, v)

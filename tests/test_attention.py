@@ -114,3 +114,34 @@ network""")
     t4.forth("4 8 16 1 tensor randn forward")
     out = t4.forth("-1 n@ sum abs 0 max .")
     assert "-> ok" in out
+
+
+def test_flash_kernel_interpret_matches_einsum(t4):
+    """the Pallas flash kernel (interpret mode, CPU-testable) must match
+    the exact softmax-attention einsum — non-causal and causal"""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.ops.attn_pallas import flash_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    b, s, dh = 2, 512, 128
+    q = jax.random.normal(ks[0], (b, s, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, dh), jnp.float32)
+
+    def ref(causal):
+        sc = jnp.einsum("nqd,nkd->nqk", q, k) / jnp.sqrt(jnp.float32(dh))
+        if causal:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            sc = jnp.where(ki <= qi, sc, -1.0e30)
+        w = jax.nn.softmax(sc, axis=-1)
+        return jnp.einsum("nqk,nkd->nqd", w, v)
+
+    for causal in (False, True):
+        got = flash_attention(q, k, v, causal=causal, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref(causal)),
+            rtol=2e-5, atol=2e-5,
+            err_msg=f"flash(causal={causal}) != reference softmax attn")
