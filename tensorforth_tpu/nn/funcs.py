@@ -160,13 +160,64 @@ def rope_apply(x, pos):
                             x1 * sin + x2 * cos], axis=-1)
 
 
+def _flash_ok(s: int, dh: int) -> bool:
+    return (s >= 512 and s % 256 == 0 and dh % 128 == 0
+            and jax.default_backend() == "tpu")
+
+
+def _sdpa_ref(q, k, v, causal):
+    """exact softmax attention, [B, S, dh] (XLA path / flash oracle)"""
+    s, dh = q.shape[1], q.shape[2]
+    sc = jnp.einsum("nqd,nkd->nqk", q, k,
+                    preferred_element_type=jnp.float32)
+    sc = sc / jnp.sqrt(jnp.float32(dh))
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        sc = jnp.where(ki <= qi, sc, -1.0e30)
+    w = jax.nn.softmax(sc, axis=-1)
+    return jnp.einsum("nqk,nkd->nqd", w, v,
+                      preferred_element_type=jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sdpa(q, k, v, causal: bool = False):
+    """softmax-attention core with flash FORWARD AND BACKWARD Pallas
+    kernels for long aligned sequences (S x S never hits HBM in either
+    direction); ineligible shapes use the fused XLA einsum path"""
+    return _sdpa_fwd_rule(q, k, v, causal)[0]
+
+
+def _sdpa_fwd_rule(q, k, v, causal):
+    _, s, dh = q.shape
+    if _flash_ok(s, dh):
+        from ..ops.attn_pallas import flash_attention
+        o, lse = flash_attention(q, k, v, causal=causal, return_lse=True)
+        return o, (q, k, v, o, lse)
+    o = _sdpa_ref(q, k, v, causal)
+    return o, (q, k, v, None, None)
+
+
+def _sdpa_bwd_rule(causal, res, g):
+    q, k, v, o, lse = res
+    _, s, dh = q.shape
+    if lse is not None:
+        from ..ops.attn_pallas import flash_attention_bwd
+        return flash_attention_bwd(q, k, v, o, lse, g, causal=causal)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _sdpa_ref(q_, k_, v_, causal), q, k, v)
+    return vjp(g)
+
+
+sdpa.defvjp(_sdpa_fwd_rule, _sdpa_bwd_rule)
+
+
 def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True,
              causal: bool = False, rope: bool = False):
     """multi-head self-attention layer: x [N, S, E, 1], wqkv [3E, E],
     wo [E, E] -> [N, S, E, 1].  Long aligned sequences route the core
-    through the Pallas flash kernel; short ones (and the backward
-    recompute, which differentiates through XLA) use the fused einsum
-    path — both are exact.
+    through the Pallas flash kernels (forward AND backward — sdpa's
+    custom vjp); short ones use the fused einsum path — both are exact.
 
     Extension layer: the reference's roadmap names Transformers as its
     next tier (README.md:702-720); this realizes it TPU-first."""
@@ -182,25 +233,11 @@ def _mha_fwd(x, wqkv, wo, heads: int, flash: bool = True,
         pos = jnp.arange(s)
         q = rope_apply(q, pos)
         k = rope_apply(k, pos)
-    if (flash and s >= 512 and s % 256 == 0
-            and dh % 128 == 0 and jax.default_backend() == "tpu"):
-        from ..ops.attn_pallas import flash_attention
-        o = flash_attention(q.reshape(n * heads, s, dh),
-                            k.reshape(n * heads, s, dh),
-                            v.reshape(n * heads, s, dh),
-                            causal=causal)
-        o = o.reshape(n, heads, s, dh)
-    else:
-        scores = jnp.einsum("nhqd,nhkd->nhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(dh))
-        if causal:
-            qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-            ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-            scores = jnp.where(ki <= qi, scores, -1.0e30)
-        w = jax.nn.softmax(scores, axis=-1)
-        o = jnp.einsum("nhqk,nhkd->nhqd", w, v,
-                       preferred_element_type=jnp.float32)
+    core = sdpa if flash else _sdpa_ref
+    o = core(q.reshape(n * heads, s, dh),
+             k.reshape(n * heads, s, dh),
+             v.reshape(n * heads, s, dh), causal)
+    o = o.reshape(n, heads, s, dh)
     o = jnp.transpose(o, (0, 2, 1, 3)).reshape(n, s, e)
     out = jnp.dot(o, wo.T, preferred_element_type=jnp.float32)
     return out.reshape(n, s, e, 1)
@@ -221,9 +258,11 @@ def _attn_op_fwd(x, wqkv, wo, heads, causal, rope):
 
 
 def _attn_op_bwd(heads, causal, rope, res, g):
+    # flash=True: the sdpa core supplies the flash BACKWARD kernels for
+    # eligible shapes; small shapes differentiate the einsum path
     x, wqkv, wo = res
     _, vjp = jax.vjp(
-        lambda x_, w1, w2: _mha_fwd(x_, w1, w2, heads, flash=False,
+        lambda x_, w1, w2: _mha_fwd(x_, w1, w2, heads, flash=True,
                                     causal=causal, rope=rope),
         x, wqkv, wo)
     return vjp(g)
@@ -470,7 +509,7 @@ def backward_segment(program, train, dy, x0, outs, params, masks,
             elif kind == Layer.ATTN:
                 _, vjp = jax.vjp(
                     lambda x_, w1, w2: _mha_fwd(
-                        x_, w1, w2, opts[0], flash=False,
+                        x_, w1, w2, opts[0], flash=True,
                         causal=bool(opts[1]) if len(opts) > 1 else False,
                         rope=bool(opts[2]) if len(opts) > 2 else False),
                     x_in, params[j][0], params[j][1])

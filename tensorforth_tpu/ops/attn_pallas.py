@@ -25,8 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
-                  *, bq: int, bkv: int, scale: float, causal: bool):
+def _flash_kernel(q_ref, k_ref, v_ref, *rest,
+                  bq: int, bkv: int, scale: float, causal: bool,
+                  save_lse: bool):
+    if save_lse:
+        o_ref, lse_ref, m_sc, l_sc, acc_sc = rest
+    else:
+        (o_ref, m_sc, l_sc, acc_sc), lse_ref = rest, None
     q_i = pl.program_id(1)
     kv_i = pl.program_id(2)
 
@@ -71,32 +76,137 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
     @pl.when(kv_i == pl.num_programs(2) - 1)
     def _flush():
         o_ref[0] = acc_sc[:] / l_sc[:, 0:1]
+        if save_lse:
+            # per-row log-sum-exp, lane-broadcast (backward residual)
+            lse_ref[0] = jnp.broadcast_to(
+                m_sc[:, 0:1] + jnp.log(l_sc[:, 0:1]), lse_ref[0].shape)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                          dk_ref, dv_ref, dk_sc, dv_sc,
+                          *, bq: int, bkv: int, scale: float, causal: bool):
+    """dK/dV: grid (B, n_kv, n_q) — kv block stationary, q blocks stream"""
+    kv_i = pl.program_id(1)
+    q_i = pl.program_id(2)
+
+    @pl.when(q_i == 0)
+    def _init():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    def compute():
+        q = q_ref[0]                                # [bq, dh]
+        k = k_ref[0]                                # [bkv, dh]
+        v = v_ref[0]
+        do = do_ref[0]
+        o = o_ref[0]
+        lse = lse_ref[0][:, 0:1]                    # [bq, 1]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        if causal:
+            rows = q_i * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bkv), 0)
+            cols = kv_i * bkv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bkv), 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
+        p = jnp.exp(s - lse)                        # [bq, bkv] exact probs
+        dv_sc[:] += jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)   # [bq, 1]
+        ds = p * (dp - delta)
+        dk_sc[:] += scale * jnp.dot(ds.T, q,
+                                    preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when(kv_i * bkv <= q_i * bq + bq - 1)
+        def _active():
+            compute()
+    else:
+        compute()
+
+    @pl.when(q_i == pl.num_programs(2) - 1)
+    def _flush():
+        dk_ref[0] = dk_sc[:]
+        dv_ref[0] = dv_sc[:]
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                         dq_ref, dq_sc,
+                         *, bq: int, bkv: int, scale: float, causal: bool):
+    """dQ: grid (B, n_q, n_kv) — q block stationary, kv blocks stream"""
+    q_i = pl.program_id(1)
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    def compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        o = o_ref[0]
+        lse = lse_ref[0][:, 0:1]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        if causal:
+            rows = q_i * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bkv), 0)
+            cols = kv_i * bkv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bkv), 1)
+            s = jnp.where(cols <= rows, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq_sc[:] += scale * jnp.dot(ds, k,
+                                    preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when(kv_i * bkv <= q_i * bq + bq - 1)
+        def _active():
+            compute()
+    else:
+        compute()
+
+    @pl.when(kv_i == pl.num_programs(2) - 1)
+    def _flush():
+        dq_ref[0] = dq_sc[:]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bq", "bkv", "causal", "interpret"))
+                   static_argnames=("bq", "bkv", "causal", "interpret",
+                                    "return_lse"))
 def flash_attention(q, k, v, bq: int = 256, bkv: int = 256,
-                    causal: bool = False, interpret: bool = False):
+                    causal: bool = False, interpret: bool = False,
+                    return_lse: bool = False):
     """q,k,v: [B, S, dh] (batch*heads flattened) -> [B, S, dh];
     causal=True masks future positions (LM training); interpret=True
-    runs the kernel in the Pallas interpreter (CPU-testable)"""
+    runs the kernel in the Pallas interpreter (CPU-testable);
+    return_lse=True also returns the per-row log-sum-exp residual
+    [B, S, 128] (lane-broadcast) consumed by flash_attention_bwd"""
     b, s, dh = q.shape
     bq = min(bq, s)
     bkv = min(bkv, s)
     assert s % bq == 0 and s % bkv == 0, "seq not divisible by block"
     scale = 1.0 / math.sqrt(dh)
     grid = (b, s // bq, s // bkv)
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, s, dh), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0))]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b, s, 128), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, bq, 128), lambda bi, qi, ki: (bi, qi, 0)))
+    r = pl.pallas_call(
         functools.partial(_flash_kernel, bq=bq, bkv=bkv, scale=scale,
-                          causal=causal),
+                          causal=causal, save_lse=return_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
             pl.BlockSpec((1, bkv, dh), lambda bi, qi, ki: (bi, ki, 0)),
             pl.BlockSpec((1, bkv, dh), lambda bi, qi, ki: (bi, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, dh), jnp.float32),
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shape if return_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),     # running max (col 0)
             pltpu.VMEM((bq, 128), jnp.float32),     # running denom (col 0)
@@ -112,3 +222,70 @@ def flash_attention(q, k, v, bq: int = 256, bkv: int = 256,
         ),
         interpret=interpret,
     )(q, k, v)
+    return r
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bq", "bkv", "causal", "interpret"))
+def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
+                        bkv: int = 256, causal: bool = False,
+                        interpret: bool = False):
+    """flash backward: (dq, dk, dv) without materializing S x S in HBM.
+    Two kernels — dK/dV with the KV block stationary and dQ with the Q
+    block stationary — each recomputes its probability tile from the
+    saved log-sum-exp (`lse` from flash_attention(return_lse=True))."""
+    b, s, dh = q.shape
+    bq = min(bq, s)
+    bkv = min(bkv, s)
+    scale = 1.0 / math.sqrt(dh)
+
+    q_at = pl.BlockSpec((1, bq, dh), lambda bi, ki, qi: (bi, qi, 0))
+    kv_at = pl.BlockSpec((1, bkv, dh), lambda bi, ki, qi: (bi, ki, 0))
+    lse_at = pl.BlockSpec((1, bq, 128), lambda bi, ki, qi: (bi, qi, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, bq=bq, bkv=bkv,
+                          scale=scale, causal=causal),
+        grid=(b, s // bkv, s // bq),
+        in_specs=[q_at, kv_at, kv_at, q_at, q_at, lse_at],
+        out_specs=[
+            pl.BlockSpec((1, bkv, dh), lambda bi, ki, qi: (bi, ki, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda bi, ki, qi: (bi, ki, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, s, dh), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((bkv, dh), jnp.float32),
+            pltpu.VMEM((bkv, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(3 if causal else 6) * b * s * s * dh,
+            bytes_accessed=5 * b * s * dh * 4,
+            transcendentals=b * s * s // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(q, k, v, o, do, lse)
+
+    q_at2 = pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0))
+    kv_at2 = pl.BlockSpec((1, bkv, dh), lambda bi, qi, ki: (bi, ki, 0))
+    lse_at2 = pl.BlockSpec((1, bq, 128), lambda bi, qi, ki: (bi, qi, 0))
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, bq=bq, bkv=bkv,
+                          scale=scale, causal=causal),
+        grid=(b, s // bq, s // bkv),
+        in_specs=[q_at2, kv_at2, kv_at2, q_at2, q_at2, lse_at2],
+        out_specs=pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, dh), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if causal else 4) * b * s * s * dh,
+            bytes_accessed=5 * b * s * dh * 4,
+            transcendentals=b * s * s // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(q, k, v, o, do, lse)
+    return dq, dk, dv

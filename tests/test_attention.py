@@ -145,3 +145,35 @@ def test_flash_kernel_interpret_matches_einsum(t4):
             np.asarray(got), np.asarray(ref(causal)),
             rtol=2e-5, atol=2e-5,
             err_msg=f"flash(causal={causal}) != reference softmax attn")
+
+
+def test_flash_backward_interpret_matches_autodiff(t4):
+    """flash_attention_bwd (interpret mode) must match jax.grad of the
+    exact einsum attention — non-causal and causal"""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.nn.funcs import _sdpa_ref
+    from tensorforth_tpu.ops.attn_pallas import (flash_attention,
+                                                 flash_attention_bwd)
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    b, s, dh = 2, 512, 128
+    q = jax.random.normal(ks[0], (b, s, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, dh), jnp.float32)
+    do = jax.random.normal(ks[3], (b, s, dh), jnp.float32)
+
+    for causal in (False, True):
+        o, lse = flash_attention(q, k, v, causal=causal,
+                                 return_lse=True, interpret=True)
+        dq, dk, dv = flash_attention_bwd(q, k, v, o, lse, do,
+                                         causal=causal, interpret=True)
+        _, vjp = jax.vjp(lambda q_, k_, v_: _sdpa_ref(q_, k_, v_, causal),
+                         q, k, v)
+        wq, wk, wv = vjp(do)
+        for got, want, nm in ((dq, wq, "dq"), (dk, wk, "dk"),
+                              (dv, wv, "dv")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
+                err_msg=f"flash bwd {nm} (causal={causal})")
