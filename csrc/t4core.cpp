@@ -83,16 +83,34 @@ static inline void drop_du(T4VM *vm, float v) {
 }
 
 // ---- stack ops ---------------------------------------------------------------
+// Memory-safety contract (fuzz finding): fuzzed/underflowed words must
+// never write outside the stack buffers — indices clamp into range and
+// the Python side pads both buffers with guard slack for the bounded
+// negative READS the reference's unchecked Vector also performs.
+static inline void sput(T4VM *vm, float v) {
+    if (vm->ss_idx < 0) vm->ss_idx = 0;
+    if (vm->ss_idx >= vm->ss_sz) vm->ss_idx = vm->ss_sz - 1;
+    vm->ss[vm->ss_idx++] = v;
+}
+static inline float spop(T4VM *vm) {
+    if (vm->ss_idx > 0) return vm->ss[--vm->ss_idx];
+    vm->ss_idx = 0;
+    return 0.0f;
+}
 static inline void push(T4VM *vm, float v) {
-    vm->ss[vm->ss_idx++] = vm->tos;
+    sput(vm, vm->tos);
     vm->tos = v;
 }
 static inline float pop(T4VM *vm) {
     float t = vm->tos;
-    vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f;
+    vm->tos = vm->ss_idx > 0 ? spop(vm) : 0.0f;
     return t;
 }
-static inline void rpush(T4VM *vm, float v) { vm->rs[vm->rs_idx++] = v; }
+static inline void rpush(T4VM *vm, float v) {
+    if (vm->rs_idx < 0) vm->rs_idx = 0;
+    if (vm->rs_idx >= vm->rs_sz) vm->rs_idx = vm->rs_sz - 1;
+    vm->rs[vm->rs_idx++] = v;
+}
 static inline float rpop(T4VM *vm) {
     return vm->rs_idx > 0 ? vm->rs[--vm->rs_idx] : 0.0f;
 }
@@ -118,49 +136,50 @@ static void native_word(T4VM *vm, int id) {
     case W_NOP: break;
     case W_DUP:  push(vm, dup_du(vm->tos)); break;
     case W_DROP: { drop_du(vm, vm->tos);
-                   vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f; } break;
+                   vm->tos = vm->ss_idx > 0 ? spop(vm) : 0.0f; } break;
     case W_OVER: push(vm, dup_du(vm->ss[vm->ss_idx - 1])); break;
-    case W_SWAP: { float n = vm->ss[--vm->ss_idx]; push(vm, n); } break;
-    case W_ROT:  { float n = vm->ss[--vm->ss_idx];
-                   float m = vm->ss[--vm->ss_idx];
-                   vm->ss[vm->ss_idx++] = n; push(vm, m); } break;
-    case W_RROT: { float n = vm->ss[--vm->ss_idx];
-                   float m = vm->ss[--vm->ss_idx];
+    case W_SWAP: { float n = spop(vm); push(vm, n); } break;
+    case W_ROT:  { float n = spop(vm);
+                   float m = spop(vm);
+                   sput(vm, n); push(vm, m); } break;
+    case W_RROT: { float n = spop(vm);
+                   float m = spop(vm);
                    push(vm, m); push(vm, n); } break;
     case W_PICK: { int i = d2i(vm->tos);
-                   vm->tos = i > 0 ? dup_du(vm->ss[vm->ss_idx - i])
+                   vm->tos = (i > 0 && i <= vm->ss_idx)
+                                   ? dup_du(vm->ss[vm->ss_idx - i])
                                    : dup_du(vm->tos); } break;
-    case W_NIP:  --vm->ss_idx; break;
+    case W_NIP:  if (vm->ss_idx > 0) --vm->ss_idx; break;
     case W_QDUP: if (vm->tos != 0.0f) push(vm, vm->tos); break;
     case W_2DUP: { float v = dup_du(vm->ss[vm->ss_idx - 1]); push(vm, v);
                    v = dup_du(vm->ss[vm->ss_idx - 1]); push(vm, v); } break;
-    case W_2DROP:{ float s = vm->ss[--vm->ss_idx]; drop_du(vm, s);
+    case W_2DROP:{ float s = spop(vm); drop_du(vm, s);
                    drop_du(vm, vm->tos);
-                   vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f; } break;
+                   vm->tos = vm->ss_idx > 0 ? spop(vm) : 0.0f; } break;
     case W_2OVER:{ float v = dup_du(vm->ss[vm->ss_idx - 3]); push(vm, v);
                    v = dup_du(vm->ss[vm->ss_idx - 3]); push(vm, v); } break;
-    case W_2SWAP:{ float n = vm->ss[--vm->ss_idx];
-                   float m = vm->ss[--vm->ss_idx];
-                   float l = vm->ss[--vm->ss_idx];
-                   vm->ss[vm->ss_idx++] = n; push(vm, l); push(vm, m); } break;
+    case W_2SWAP:{ float n = spop(vm);
+                   float m = spop(vm);
+                   float l = spop(vm);
+                   sput(vm, n); push(vm, l); push(vm, m); } break;
     // --- FPU (double intermediate to match numpy float64 math) ---
-    case W_ADD: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+    case W_ADD: { double t = vm->tos, n = spop(vm);
                   vm->tos = scal(n + t); } break;
-    case W_SUB: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+    case W_SUB: { double t = vm->tos, n = spop(vm);
                   vm->tos = scal(n - t); } break;
-    case W_MUL: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+    case W_MUL: { double t = vm->tos, n = spop(vm);
                   vm->tos = scal(n * t); } break;
-    case W_DIV: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
+    case W_DIV: { double t = vm->tos, n = spop(vm);
                   vm->tos = scal(n / t);    // IEEE: 0/0 NaN, n/±0 ±inf
                 } break;
     case W_MOD: { int32_t t = d2i(vm->tos);
-                  int32_t n = d2i(vm->ss[--vm->ss_idx]);
+                  int32_t n = d2i(spop(vm));
                   vm->tos = scal(t ? (double)std::fmod((double)n, (double)t)
                                    : 0.0); } break;
-    case W_FMOD:{ double t = vm->tos, n = vm->ss[--vm->ss_idx];
+    case W_FMOD:{ double t = vm->tos, n = spop(vm);
                   vm->tos = scal(t != 0.0 ? std::fmod(n, t) : 0.0); } break;
-    case W_DIVMOD: { double t = vm->tos, n = vm->ss[--vm->ss_idx];
-                  vm->ss[vm->ss_idx++] = scal(t != 0.0 ? std::fmod(n, t) : 0.0);
+    case W_DIVMOD: { double t = vm->tos, n = spop(vm);
+                  sput(vm, scal(t != 0.0 ? std::fmod(n, t) : 0.0));
                   vm->tos = scal(t != 0.0 ? n / t : 0.0); } break;
     case W_MULDIV: { double n2 = (double)vm->ss[vm->ss_idx - 1]
                                * (double)vm->ss[vm->ss_idx - 2];
@@ -171,26 +190,26 @@ static void native_word(T4VM *vm, int id) {
                                   * (double)vm->ss[vm->ss_idx - 2];
                   vm->ss_idx -= 2;
                   double t = vm->tos;
-                  vm->ss[vm->ss_idx++] = scal(t != 0.0 ? std::fmod(n2, t) : 0.0);
+                  sput(vm, scal(t != 0.0 ? std::fmod(n2, t) : 0.0));
                   vm->tos = scal(t != 0.0 ? std::floor(n2 / t) : 0.0); } break;
-    case W_AND: { int32_t t = d2i(vm->tos), n = d2i(vm->ss[--vm->ss_idx]);
+    case W_AND: { int32_t t = d2i(vm->tos), n = d2i(spop(vm));
                   vm->tos = scal(wrap32((int64_t)n & t)); } break;
-    case W_OR:  { int32_t t = d2i(vm->tos), n = d2i(vm->ss[--vm->ss_idx]);
+    case W_OR:  { int32_t t = d2i(vm->tos), n = d2i(spop(vm));
                   vm->tos = scal(wrap32((int64_t)n | t)); } break;
-    case W_XOR: { int32_t t = d2i(vm->tos), n = d2i(vm->ss[--vm->ss_idx]);
+    case W_XOR: { int32_t t = d2i(vm->tos), n = d2i(spop(vm));
                   vm->tos = scal(wrap32((int64_t)n ^ t)); } break;
     case W_ABS: vm->tos = scal(std::fabs((double)vm->tos)); break;
     case W_NEG: vm->tos = scal(-(double)vm->tos); break;
     case W_INVERT: vm->tos = scal(wrap32(~(int64_t)d2i(vm->tos))); break;
     case W_RSHIFT: { int32_t t = d2i(vm->tos);
-                  uint32_t n = (uint32_t)d2i(vm->ss[--vm->ss_idx]);
+                  uint32_t n = (uint32_t)d2i(spop(vm));
                   vm->tos = scal(wrap32(n >> t)); } break;
     case W_LSHIFT: { int32_t t = d2i(vm->tos);
-                  int64_t n = d2i(vm->ss[--vm->ss_idx]);
+                  int64_t n = d2i(spop(vm));
                   vm->tos = scal(wrap32(n << t)); } break;
-    case W_MAX: { float n = vm->ss[--vm->ss_idx];
+    case W_MAX: { float n = spop(vm);
                   if (n > vm->tos) vm->tos = n; } break;
-    case W_MIN: { float n = vm->ss[--vm->ss_idx];
+    case W_MIN: { float n = spop(vm);
                   if (n < vm->tos) vm->tos = n; } break;
     case W_2STAR:  vm->tos = scal((double)vm->tos * 2.0); break;
     case W_2SLASH: vm->tos = scal((double)vm->tos / 2.0); break;
@@ -206,23 +225,23 @@ static void native_word(T4VM *vm, int id) {
     case W_ZEQ: vm->tos = fbool(std::fabs((double)vm->tos) < DU_EPS); break;
     case W_ZLT: vm->tos = fbool((double)vm->tos < -DU_EPS); break;
     case W_ZGT: vm->tos = fbool((double)vm->tos > DU_EPS); break;
-    case W_EQ:  { double n = vm->ss[--vm->ss_idx];
+    case W_EQ:  { double n = spop(vm);
                   vm->tos = fbool(std::fabs(n - vm->tos) < DU_EPS); } break;
-    case W_GT:  { double n = vm->ss[--vm->ss_idx];
+    case W_GT:  { double n = spop(vm);
                   vm->tos = fbool(n - vm->tos > DU_EPS); } break;
-    case W_LT:  { double n = vm->ss[--vm->ss_idx];
+    case W_LT:  { double n = spop(vm);
                   vm->tos = fbool(n - vm->tos < -DU_EPS); } break;
-    case W_NE:  { double n = vm->ss[--vm->ss_idx];
+    case W_NE:  { double n = spop(vm);
                   vm->tos = fbool(std::fabs(n - vm->tos) >= DU_EPS); } break;
-    case W_GE:  { double n = vm->ss[--vm->ss_idx];
+    case W_GE:  { double n = spop(vm);
                   vm->tos = fbool(n - vm->tos >= -DU_EPS); } break;
-    case W_LE:  { double n = vm->ss[--vm->ss_idx];
+    case W_LE:  { double n = spop(vm);
                   vm->tos = fbool(n - vm->tos <= DU_EPS); } break;
     case W_ULT: { uint32_t t = (uint32_t)d2i(vm->tos);
-                  uint32_t n = (uint32_t)d2i(vm->ss[--vm->ss_idx]);
+                  uint32_t n = (uint32_t)d2i(spop(vm));
                   vm->tos = fbool(n < t); } break;
     case W_UGT: { uint32_t t = (uint32_t)d2i(vm->tos);
-                  uint32_t n = (uint32_t)d2i(vm->ss[--vm->ss_idx]);
+                  uint32_t n = (uint32_t)d2i(spop(vm));
                   vm->tos = fbool(n > t); } break;
     // --- return stack ---
     case W_TOR:   rpush(vm, pop(vm)); break;
@@ -244,6 +263,11 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
     vm->state = ST_NEST;
     uint8_t *pm = vm->pmem;
     while (vm->ip && vm->state == ST_NEST) {
+        if (vm->ip < 0 || vm->ip + 8 > vm->pmem_sz) {   // wild ip: stop
+            vm->ip = 0;
+            vm->state = ST_QUERY;
+            break;
+        }
         uint32_t u;
         memcpy(&u, pm + vm->ip, 4);
         uint32_t ioff = u & 0xFFFFFF;
@@ -256,7 +280,7 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
         case P_LIT: {
             float v;
             memcpy(&v, pm + vm->ip, 4);
-            vm->ss[vm->ss_idx++] = vm->tos;
+            sput(vm, vm->tos);
             vm->tos = dup_du(v);
             vm->ip += 4;
             if (fexit) vm->ip = d2i(rpop(vm));
@@ -318,9 +342,9 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
                 cb(-6);
             }
             else {                      // rs.push(ss.pop()); rs.push(POP())
-                rpush(vm, vm->ss[--vm->ss_idx]);    // limit (NOS)
+                rpush(vm, spop(vm));    // limit (NOS)
                 rpush(vm, vm->tos);                 // index (TOS)
-                vm->tos = vm->ss_idx > 0 ? vm->ss[--vm->ss_idx] : 0.0f;
+                vm->tos = vm->ss_idx > 0 ? spop(vm) : 0.0f;
             }
             break;
         case P_KEY:
@@ -429,7 +453,7 @@ int32_t t4_outer(T4VM *vm, const T4Dict *dict,
             uint8_t fl = dict->nflags[w];
             bool imm = fl & 1, udf = fl & 2;
             if (vm->compile && !imm) {                  // compile the call
-                if (vm->here + 4 > vm->pmem_sz) goto bounce;
+                if (vm->here < 0 || vm->here + 4 > vm->pmem_sz) goto bounce;
                 uint32_t u = ((uint32_t)P_MAX_OP << 24)
                            | (udf ? (dict->npfa[w] & 0xFFFFFF) | 0x40000000u
                                   : (uint32_t)w & 0xFFFFFF);
@@ -464,7 +488,7 @@ int32_t t4_outer(T4VM *vm, const T4Dict *dict,
             if (parse_number(tok, tlen, b, &f)) {
                 float v = scal((double)f);
                 if (vm->compile) {
-                    if (vm->here + 8 > vm->pmem_sz) goto bounce;
+                    if (vm->here < 0 || vm->here + 8 > vm->pmem_sz) goto bounce;
                     compile_cell(vm, (uint32_t)3 << 24);      // P_LIT
                     memcpy(vm->pmem + vm->here, &v, 4);
                     vm->here += 4;

@@ -23,6 +23,8 @@ def gfmt(v) -> str:
 
 def to_base(n: int, base: int) -> str:
     """digit-by-digit conversion of a non-negative int (Forth <# #S #>)"""
+    if not 2 <= base <= 36:     # a trashed BASE user var must not kill
+        base = 10               # the prompt's stack dump (fuzz finding)
     if n == 0:
         return "0"
     out = []
@@ -36,6 +38,8 @@ def to_base(n: int, base: int) -> str:
 def to_s_scalar(v, base: int = 10) -> str:
     """reference aio.cpp:38-57 — decimal w/ fraction -> %0.6g, else by-digit"""
     f = float(v)
+    if not math.isfinite(f):        # %g semantics: inf/-inf/nan print,
+        return f"{f:g}"             # never overflow the stack dump
     frac = abs(f - math.trunc(f))
     if base == 10 and frac > Config.DU_EPS:
         return f"{f:0.6g}"

@@ -673,6 +673,10 @@ class ForthVM(VM):
         # --- debug -----------------------------------------------------------------------------------
         def _abort(vm):
             vm.tos = np.float32(-1.0); vm.ss.clear(); vm.rs.clear()
+            vm.compile = False           # also leave any dangling input
+            if hasattr(vm, "ten_lvl"):   # modes (unclosed { capture /
+                vm.ten_lvl = 0           # colon def) — the REPL must
+                vm._staged = None        # come back interpretable
         CODE("abort", _abort)
         CODE("here", lambda vm: vm.PUSH(np.float32(vm.HERE)))
         def _tick(vm):

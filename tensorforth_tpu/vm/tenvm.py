@@ -96,7 +96,10 @@ class TensorVM(ForthVM):
             self.add_lit(n)
         elif self.ten_lvl > 0:
             if self._staged is None:
-                self._staged = self.TTOS().numpy().reshape(-1)
+                st = self.TTOS().numpy().reshape(-1)
+                if not st.flags.writeable:   # device-backed host mirrors
+                    st = st.copy()           # are read-only np views
+                self._staged = st
             if self.ten_off < self._staged.size:
                 self._staged[self.ten_off] = float(n)
                 self.ten_off += 1
@@ -495,7 +498,10 @@ class TensorVM(ForthVM):
             vm.ten_off = 0 if IS_OBJ(vm.tos) else vm.POPi()
             vm.ten_lvl = 1 if IS_OBJ(vm.tos) else 0
             if vm.ten_lvl:
-                vm._staged = vm.TTOS().numpy().reshape(-1)
+                st = vm.TTOS().numpy().reshape(-1)
+                if not st.flags.writeable:   # device-backed host mirrors
+                    st = st.copy()           # are read-only np views
+                vm._staged = st
         CODE("={", _setlit)
         CODE("zeros", lambda vm: vm.xop1(M.FILL, DU0))
         CODE("ones",  lambda vm: vm.xop1(M.FILL, DU1))

@@ -25,12 +25,21 @@ class MathOp:
      MAX, MIN, MUL2, MOD2, IDEN) = range(27)
 
 
+GUARD = 16          # float32 slots of slack on EACH side of a stack
+
+
 class Stack:
-    """fixed-depth float32 stack (tagged DUs)"""
-    __slots__ = ("buf", "idx")
+    """fixed-depth float32 stack (tagged DUs).  The payload is a view
+    into a guard-padded allocation: the native engine clamps its
+    indices (csrc/t4core.cpp sput/spop) but, like the reference's
+    unchecked Vector, still performs bounded negative READS on
+    underflowed words — the guard slack keeps those inside our own
+    allocation instead of corrupting the heap (fuzz finding)."""
+    __slots__ = ("_raw", "buf", "idx")
 
     def __init__(self, depth: int):
-        self.buf = np.zeros(depth, dtype=np.float32)
+        self._raw = np.zeros(depth + 2 * GUARD, dtype=np.float32)
+        self.buf = self._raw[GUARD:GUARD + depth]
         self.idx = 0
 
     def push(self, v):

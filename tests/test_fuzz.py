@@ -1,0 +1,71 @@
+"""Deterministic interpreter fuzz: random token soup must never kill
+the REPL (reference contract: unknown word -> error prompt, input
+flushed, VM back to QUERY — vm.cpp:52-58)."""
+import numpy as np
+
+
+# words whose side effects would end or wedge a fuzz session, plus
+# defining words (a fuzzed `: name` / `constant` legitimately shadows
+# builtins, which would invalidate the post-fuzz probe — this fuzz
+# checks crash-safety, not redefinition semantics)
+_EXCLUDE = {"bye", "boot", "load", "save", "nn.load", "abort", "forget",
+            "key", "included", "start", "join", "send", "recv", "pull",
+            "lock", "unlock", "ms", "delay", "nn.train", "nn.pipe",
+            "nn.gen", "dataset", "fetch", "rewind", "quit", "eval",
+            ":", ";", "constant", "variable", "create", "value", "to",
+            "is", "does>", "immediate", "task"}
+
+
+def _reset(t4):
+    """between fuzz lines: the user's ctrl-C equivalent — abort plus a
+    direct input-mode reset (a fuzzed `:` leaves compile mode on, where
+    the abort TOKEN would only be compiled, not executed)"""
+    vm = t4.vm
+    vm.compile = False
+    if hasattr(vm, "ten_lvl"):
+        vm.ten_lvl = 0
+        vm._staged = None
+    t4.forth("abort")
+
+
+def test_fuzz_scalar_words_keep_repl_alive(t4):
+    vm = t4.vm
+    names = [c.name for c in vm.dict.words
+             if c.name not in _EXCLUDE and not c.name.startswith(".tb")]
+    rs = np.random.RandomState(1234)
+    for i in range(150):
+        n = rs.randint(1, 6)
+        toks = []
+        for _ in range(n):
+            r = rs.rand()
+            if r < 0.45:
+                toks.append(str(rs.randint(-99, 100)))
+            elif r < 0.85:
+                toks.append(names[rs.randint(len(names))])
+            else:
+                toks.append("~garbage%d~" % rs.randint(99))
+        t4.forth(" ".join(toks))
+        _reset(t4)                       # clear whatever piled up
+    out = t4.forth("1 2 + . cr")
+    assert "3 " in out, f"REPL damaged after fuzz: {out[-200:]}"
+
+
+def test_fuzz_tensor_words_keep_repl_alive(t4):
+    """tensor-word soup over live objects (creation words included so
+    object operands flow through the vocabulary)"""
+    vm = t4.vm
+    names = [c.name for c in vm.dict.words
+             if c.name not in _EXCLUDE and not c.name.startswith(".tb")]
+    rs = np.random.RandomState(99)
+    for i in range(60):
+        toks = ["2", "2", "matrix", "ones"]
+        for _ in range(rs.randint(1, 5)):
+            if rs.rand() < 0.5:
+                toks.append(str(rs.randint(1, 5)))
+            else:
+                toks.append(names[rs.randint(len(names))])
+        t4.forth(" ".join(toks))
+        _reset(t4)
+    out = t4.forth("2 2 matrix{ 1 2 3 4 } dup @ sum . cr")
+    assert "54 " in out or "54." in out, \
+        f"tensor tier damaged after fuzz: {out[-300:]}"
