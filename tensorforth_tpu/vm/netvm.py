@@ -649,11 +649,13 @@ class NetVM(TensorVM):
             t = vm.mmu.du2obj(tv)
             m = vm.MTOS()
             from ..nn.serve import generate
-            ids = t.numpy().reshape(-1)
+            # a matrix prompt [N, S0] decodes N sequences in one program
+            ids = t.numpy().reshape(t.H(), t.W()) if t.rank == 2 \
+                else t.numpy().reshape(-1)
             out = generate(m, ids, n_new, temp=temp,
                            seed=vm.sys.next_key() & 0x7FFFFFFF,
                            top_k=top_k, top_p=top_p)
-            ot = vm.mmu.tensor(out.shape[0])
+            ot = vm.mmu.tensor(*out.shape)
             ot.set_numpy(out.astype(np.float32))
             vm.DROP_DU(tv)
             vm.PUSH(vm.mmu.obj2du(ot))

@@ -126,3 +126,14 @@ constant svlm""")
     assert "embed" in out and "proj" in out
     w1 = float(t4.forth("0 nn.w sum . cr").strip().split()[0])
     assert abs(w0 - w1) < 1e-4
+
+
+def test_nn_gen_batch_prompts(t4):
+    """a matrix prompt [N, S0] decodes N sequences in one program"""
+    out = t4.forth("""0 trace
+2 12 1 1 nn.model
+16 16 nn.embed layernorm 1 4 nn.attn tanh layernorm 16 nn.proj softmax
+constant blm
+2 4 matrix{ 3 1 4 1  2 7 1 8 } constant bpr
+blm bpr 8 nn.gen .""")
+    assert "matrix[2,12]" in out, f"batch decode failed: {out[-400:]}"
