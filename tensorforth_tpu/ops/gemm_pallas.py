@@ -268,9 +268,13 @@ def mm_pallas(a, b, variant: int = 3, scale: float = 1.0):
                 if v >= t:
                     return t
             return 128
-        if (k == 2048 and 512 <= m <= 2048 and 512 <= n <= 2048):
-            # sweet spot measured on v5e: 171 TF/s; the 1024-tile config
-            # at K2048 sits exactly on the 16 MB VMEM cliff
+        if k == 2048 and m >= 1024 and 512 <= n <= 2048:
+            # K-resident asymmetric tile: 12 MB double-buffered inputs
+            # + 2 MB accumulator stays safely under the 16 MB VMEM
+            # cliff; measured 156.2 TF/s vs 150.0 for 512x512 tiles
+            # (late-r2 sweep, same chip/window as XLA dot 159.2)
+            bm, bn, bk = 1024, 512, 2048
+        elif k == 2048 and 512 <= m <= 2048 and 512 <= n <= 2048:
             bm = bn = 512
             bk = 2048
         elif k >= 1024:
