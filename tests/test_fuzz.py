@@ -69,3 +69,43 @@ def test_fuzz_tensor_words_keep_repl_alive(t4):
     out = t4.forth("2 2 matrix{ 1 2 3 4 } dup @ sum . cr")
     assert "54 " in out or "54." in out, \
         f"tensor tier damaged after fuzz: {out[-300:]}"
+
+
+def test_fuzz_colon_control_flow(t4):
+    """random (but well-nested) colon definitions with if/else/then,
+    for/next and begin/until bodies must compile and execute without
+    wedging or damaging the interpreter (stresses the native nest's
+    branch handling + the ip bounds guard)"""
+    rs = np.random.RandomState(7)
+    # scalar words that cannot touch the return stack or block
+    safe = ["dup", "drop", "+", "-", "*", "swap", "over", "max", "min",
+            "1+", "abs", "negate", "0=", "0<"]
+
+    def body(depth):
+        toks = []
+        for _ in range(rs.randint(1, 4)):
+            r = rs.rand()
+            if r < 0.55 or depth >= 2:
+                if rs.rand() < 0.5:
+                    toks.append(str(rs.randint(-9, 10)))
+                else:
+                    toks.append(safe[rs.randint(len(safe))])
+            elif r < 0.75:
+                toks += [str(rs.randint(0, 2)), "if"] + body(depth + 1)
+                if rs.rand() < 0.5:
+                    toks += ["else"] + body(depth + 1)
+                toks += ["then"]
+            elif r < 0.9:
+                toks += [str(rs.randint(0, 4)), "for"] + body(depth + 1) \
+                        + ["next"]
+            else:
+                toks += ["begin"] + body(depth + 1) + ["-1", "until"]
+        return toks
+
+    for i in range(40):
+        toks = body(0)
+        t4.forth(f": fz{i} " + " ".join(toks) + " ;")
+        t4.forth(f"fz{i}")
+        _reset(t4)
+    out = t4.forth("3 4 * . cr")
+    assert "12 " in out, f"REPL damaged after colon fuzz: {out[-200:]}"
