@@ -419,6 +419,10 @@ static bool parse_number(const char *tok, int tlen, int base, float *out) {
     buf[tlen] = '\0';
     const char *p = buf;
     int b = base;
+    // the BASE user byte is writable from Forth (`!` at address 0);
+    // strtol with a base outside [2,36] is UB — glibc SEGFAULTS on
+    // e.g. 228 (fuzz finding).  Clamp like io/fmt.to_base does.
+    if (b < 2 || b > 36) b = 10;
     if (*p == '%')      { b = 2;  ++p; }
     else if (*p == '&' || *p == '#') { b = 10; ++p; }
     else if (*p == '$') { b = 16; ++p; }
