@@ -108,6 +108,19 @@ def _param_layers(m):
             yield t_in, ("w",)
 
 
+def _opt_kind(m) -> int:
+    """0 = no resumable optimizer state, 1 = momentum (SGDM), 2 = adam
+    (m+v) — derived from the mtum slot structure grad_alloc built"""
+    if not getattr(m, "_opt_inited", False):
+        return 0
+    for t, s in m._trainables():
+        if t.mtum[s + 2] is not None:
+            return 2
+        if t.mtum[s] is not None and t.mtum[s] is not t.grad[s]:
+            return 1
+    return 0
+
+
 def nsave(m, fname: str, mode: int = 0) -> int:
     from ..system import System
     sys = System.get_sys()
@@ -123,6 +136,23 @@ def nsave(m, fname: str, mode: int = 0) -> int:
                     t = t_in.grad[0 if s == "w" else 1]
                     fs.write(f"\n--- {s}.{nm}\n".encode())
                     fs.write(t.numpy().astype("<f4").tobytes())
+            # optimizer-state sections (EXTENSION: the reference loses
+            # m/v on save/load — SURVEY §5 "No optimizer-state
+            # persistence" — which silently breaks training resume).
+            # Appended between params and trailer; old readers that
+            # walk named sections sequentially simply never look here.
+            kind = _opt_kind(m)
+            if kind:
+                fs.write(b"\n--- opt.meta\n")
+                fs.write(np.asarray([kind, m._iter],
+                                    dtype="<f4").tobytes())
+                for t, s in m._trainables():
+                    fs.write(f"\n--- om.{s}\n".encode())
+                    fs.write(t.mtum[s].numpy().astype("<f4").tobytes())
+                    if kind == 2:
+                        fs.write(f"\n--- ov.{s}\n".encode())
+                        fs.write(t.mtum[s + 2].numpy()
+                                 .astype("<f4").tobytes())
             fs.write(b"\n---\n")
         return 0
     except OSError as e:
@@ -166,4 +196,29 @@ def nload(vm, m, fname: str, mode: int = 0) -> int:
             a = np.frombuffer(binary[start:start + nbytes], dtype="<f4")
             t.set_numpy(a.copy())
             pos = start + nbytes
+    # phase 3 (extension): optimizer-state sections, when present —
+    # restores the adam/momentum accumulators + step counter so
+    # training RESUMES on the saved trajectory instead of restarting
+    # the optimizer cold
+    idx = binary.find(b"--- opt.meta\n", pos)
+    if idx >= 0:
+        from ..nn.ntypes import Optimizer
+        meta = np.frombuffer(binary[idx + 13:idx + 21], dtype="<f4")
+        kind, it = int(meta[0]), int(meta[1])
+        m.grad_alloc(Optimizer.ADAM if kind == 2 else Optimizer.SGDM)
+        m._iter = it
+        pos = idx + 21
+        for t, s in m._trainables():
+            for tag, tt in ((f"--- om.{s}\n", t.mtum[s]),) + (
+                    ((f"--- ov.{s}\n", t.mtum[s + 2]),) if kind == 2
+                    else ()):
+                j = binary.find(tag.encode(), pos)
+                if j < 0:
+                    sys.perr("", "opt state format error ")
+                    return 1
+                start = j + len(tag)
+                nb = tt.numel * 4
+                tt.set_numpy(np.frombuffer(binary[start:start + nb],
+                                           dtype="<f4").copy())
+                pos = start + nb
     return 0

@@ -216,3 +216,40 @@ def test_split_stages_rejects_non_repeated(t4):
     m = mnist_cnn(batch=8)
     with pytest.raises(ValueError):
         split_stages(m._program(), m._params(), 4)
+
+
+def test_optimizer_state_resume(t4, tmp_path):
+    """save/load with optimizer state: resuming adam training after a
+    roundtrip must follow the SAME trajectory as never stopping (the
+    reference loses m/v on save — SURVEY §5 — so its resumes restart
+    the optimizer cold)"""
+    p = tmp_path / "resume.t4"
+    t4.forth("""0 trace
+4 1 8 1 nn.model 16 linear relu 4 linear softmax constant rsm
+32 vector randn 4 1 8 1 reshape4 constant rsx
+16 vector{ 1 0 0 0  0 1 0 0  0 0 1 0  0 0 0 1 } 4 1 4 1 reshape4
+constant rsh
+rsm rsx forward rsh nn.onehot= drop
+: rstp rsm rsx forward rsh backprop 0.01 nn.adam drop ;""")
+    for _ in range(6):
+        t4.forth("rstp")
+    t4.forth(f'rsm s" {p}" save drop')
+    # continuous run: 4 more steps without interruption
+    for _ in range(4):
+        t4.forth("rstp")
+    w_cont = float(t4.forth("rsm 0 nn.w sum . cr drop").strip().split()[0])
+
+    # resumed run: fresh model, load (params + m/v + iter), 4 steps
+    t4.forth(f'4 1 8 1 nn.model constant rld2\nrld2 s" {p}" load')
+    from tensorforth_tpu.mu.mmu import MMU
+    models = [o for o in MMU.get_mmu()._objs.values()
+              if getattr(o, "is_model", lambda: False)()]
+    lm = models[-1]
+    assert lm._opt_inited, "optimizer state not restored"
+    assert lm._iter == 6
+    t4.forth(""": rstp2 rld2 rsx forward rsh backprop 0.01 nn.adam drop ;""")
+    for _ in range(4):
+        t4.forth("rstp2")
+    w_res = float(t4.forth("rld2 0 nn.w sum . cr drop").strip().split()[0])
+    assert abs(w_cont - w_res) < 1e-4, \
+        f"resume diverged: continuous {w_cont} vs resumed {w_res}"
