@@ -109,3 +109,26 @@ def test_fuzz_colon_control_flow(t4):
         _reset(t4)
     out = t4.forth("3 4 * . cr")
     assert "12 " in out, f"REPL damaged after colon fuzz: {out[-200:]}"
+
+
+def test_fuzz_model_builder(t4):
+    """random layer stacks through the words: valid ones must forward/
+    backprop, invalid ones must print an error and leave the REPL
+    alive — never crash (Model.add's _err contract)"""
+    rs = np.random.RandomState(31)
+    pieces = ["0.5 4 conv2d", "2 maxpool", "relu", "tanh", "flatten",
+              "8 linear", "4 linear", "softmax", "0.1 batchnorm",
+              "2 upsample", "2 nn.attn", "layernorm", "sigmoid",
+              "3 3 2 nn.moe", "0.3 dropout", "16 8 nn.embed",
+              "6 nn.proj"]
+    for i in range(8):
+        n_layers = rs.randint(1, 5)
+        stack = " ".join(pieces[rs.randint(len(pieces))]
+                         for _ in range(n_layers))
+        t4.forth(f"0 trace\n2 6 6 1 nn.model {stack} constant fm{i}")
+        # forward a matching input; shape/err paths must stay graceful
+        t4.forth(f"72 vector randn 2 6 6 1 reshape4 constant fx{i}")
+        t4.forth(f"fm{i} fx{i} forward drop drop")
+        _reset(t4)
+    out = t4.forth("1 2 + . cr")
+    assert "3 " in out, f"REPL damaged after model fuzz: {out[-300:]}"
