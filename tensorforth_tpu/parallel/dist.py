@@ -20,11 +20,9 @@ auto-detect the topology, set only T4_COORD=auto.
 """
 from __future__ import annotations
 
-import math
 import os
 
 import jax
-import numpy as np
 from jax.sharding import Mesh
 
 _initialized = False

@@ -10,7 +10,6 @@ byte-identical fallback (pinned by tests/test_native_io.py).
 """
 from __future__ import annotations
 
-import math
 import os
 import socket
 import struct
