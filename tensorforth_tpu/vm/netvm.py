@@ -532,6 +532,34 @@ class NetVM(TensorVM):
             if d is not None and d.is_dataset():
                 d.rewind(vm.sys.trace)
         CODE("rewind", _rewind)
+        def _ds_tell(vm):
+            """( D -- D pos ) corpus sample position — with ds.seek this
+            checkpoints MID-EPOCH progress (extension: the reference
+            never persists batch_id, SURVEY §5, so its resumes restart
+            the epoch)"""
+            d = vm.mmu.du2obj(vm.tos)
+            if d is None or not d.is_dataset():
+                vm.sys.perr("", "D ds.tell? ")
+                return
+            vm.PUSH(np.float32(d._corpus._pos if d._corpus else 0))
+        CODE("ds.tell", _ds_tell)
+        def _ds_seek(vm):
+            """( D pos -- D ) reposition the corpus; the next fetch
+            serves the batch starting at sample `pos`"""
+            if vm.ss.size() < 1 or IS_OBJ(vm.tos):
+                vm.sys.perr("", "D pos ds.seek? ")
+                return
+            pos = vm.POPi()
+            d = vm.mmu.du2obj(vm.tos)
+            if d is None or not d.is_dataset() or d._corpus is None:
+                vm.sys.perr("", "D pos ds.seek? ")
+                return
+            cp = d._corpus
+            cp._pos = max(0, min(int(pos), cp.size))
+            cp.eof = cp._pos >= cp.size
+            d.done = cp.eof
+            d.batch_id = cp._pos // max(d.batch_sz, 1) - 1
+        CODE("ds.seek", _ds_seek)
         CODE("forward",  lambda vm: vm._forward())
         CODE("backprop", lambda vm: vm._backprop())
         def _broadcast(vm):

@@ -205,3 +205,31 @@ def test_broadcast_word(t4):
     t4.forth("bmx 4 vector{ 1 2 3 4 } 2 1 2 1 reshape4 forward")
     out = t4.forth("2 vector{ 1 0 } broadcast nn.onehot .")
     assert "+1.0000 +1.0000" in out and "+0.0000 +0.0000" in out
+
+
+def test_ds_tell_seek_midepoch_resume(t4, monkeypatch):
+    """mid-epoch dataset checkpointing (extension: the reference never
+    persists batch_id): ds.tell after N batches, ds.seek on a fresh
+    epoch, and the next fetch serves the SAME samples"""
+    import numpy as np
+    monkeypatch.setenv("T4_MAX_BATCH", "6")
+    t4.forth("""0 trace
+8 28 28 1 nn.model flatten 10 linear softmax constant tsm
+tsm batchsize dataset mnist_train constant tsd""")
+    t4.forth("tsd fetch drop tsd fetch drop")      # batches 1,2 (the
+    # dataset word itself fetched batch 0 — reference OP_DATA behavior)
+    out = t4.forth("tsd ds.tell . cr drop")
+    assert out.strip().split()[0] == "24"          # 3 x batch 8
+    from tensorforth_tpu.mu.mmu import MMU
+    ds = next(o for o in MMU.get_mmu()._objs.values()
+              if getattr(o, "is_dataset", lambda: False)())
+    t4.forth("tsd fetch drop")                     # batch 4: samples 24..31
+    a = np.asarray(ds.ensure_data()).copy()
+    t4.forth("tsd rewind drop tsd 24 ds.seek fetch drop")
+    b = np.asarray(ds.ensure_data())
+    np.testing.assert_array_equal(a, b,
+                                  err_msg="ds.seek did not resume position")
+    out = t4.forth("tsd ds.tell . cr drop")
+    assert out.strip().split()[0] == "32"
+    out = t4.forth("abort 5 ds.seek")
+    assert "ds.seek?" in out                       # no dataset -> usage
