@@ -12,7 +12,7 @@ FAIL=0
 for s in examples/t4_*.4th; do
   start=$(date +%s)
   if "${RUN[@]}" T4_MAX_BATCH=2 T4_SEED=42 PYTHONPATH="$PWD:$PYTHONPATH" \
-      timeout 600 python -c "from tensorforth_tpu.cli import main; main([])" \
+      timeout 900 python -c "from tensorforth_tpu.cli import main; main([])" \
       < "$s" > "/tmp/$(basename "$s").out" 2>&1; then
     echo "PASS $s ($(( $(date +%s) - start ))s)"
   else
