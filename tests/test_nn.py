@@ -216,8 +216,10 @@ def test_ds_tell_seek_midepoch_resume(t4, monkeypatch):
     t4.forth("""0 trace
 8 28 28 1 nn.model flatten 10 linear softmax constant tsm
 tsm batchsize dataset mnist_train constant tsd""")
-    t4.forth("tsd fetch drop tsd fetch drop")      # batches 1,2 (the
-    # dataset word itself fetched batch 0 — reference OP_DATA behavior)
+    # the corpus registry caches position across REPL sessions — pin a
+    # known start (rewind serves batch 0 again, pos = 8)
+    t4.forth("tsd rewind drop")
+    t4.forth("tsd fetch drop tsd fetch drop")      # batches 1,2
     out = t4.forth("tsd ds.tell . cr drop")
     assert out.strip().split()[0] == "24"          # 3 x batch 8
     from tensorforth_tpu.mu.mmu import MMU
