@@ -253,3 +253,32 @@ rsm rsx forward rsh nn.onehot= drop
     w_res = float(t4.forth("rld2 0 nn.w sum . cr drop").strip().split()[0])
     assert abs(w_cont - w_res) < 1e-4, \
         f"resume diverged: continuous {w_cont} vs resumed {w_res}"
+
+
+def test_optimizer_state_resume_sgdm(t4, tmp_path):
+    """momentum-SGD state also persists (kind=1 sections)"""
+    p = tmp_path / "resume_sgdm.t4"
+    t4.forth("""0 trace
+4 1 8 1 nn.model 8 linear relu 4 linear softmax constant sgm
+32 vector randn 4 1 8 1 reshape4 constant sgx
+16 vector{ 1 0 0 0  0 1 0 0  0 0 1 0  0 0 0 1 } 4 1 4 1 reshape4
+constant sgh
+sgm sgx forward sgh nn.onehot= drop
+: sstp sgm sgx forward sgh backprop 0.9 0.05 nn.sgd drop ;""")
+    for _ in range(5):
+        t4.forth("sstp")
+    t4.forth(f'sgm s" {p}" save drop')
+    raw = open(p, "rb").read() if False else open(str(p), "rb").read()
+    assert b"--- opt.meta" in raw and b"--- om.0" in raw, \
+        "momentum sections missing from the checkpoint"
+    assert b"--- ov.0" not in raw          # kind 1: no velocity
+    for _ in range(3):
+        t4.forth("sstp")
+    w_cont = float(t4.forth("sgm 0 nn.w sum . cr drop").strip().split()[0])
+    t4.forth(f'4 1 8 1 nn.model constant sgl\nsgl s" {p}" load')
+    t4.forth(": sstp2 sgl sgx forward sgh backprop 0.9 0.05 nn.sgd drop ;")
+    for _ in range(3):
+        t4.forth("sstp2")
+    w_res = float(t4.forth("sgl 0 nn.w sum . cr drop").strip().split()[0])
+    assert abs(w_cont - w_res) < 1e-4, \
+        f"sgdm resume diverged: {w_cont} vs {w_res}"
