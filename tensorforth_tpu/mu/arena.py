@@ -75,6 +75,36 @@ def _matmul(buf, offa, offb, offo, sa, sb):
     return jax.lax.dynamic_update_slice(buf, r.reshape(-1), (offo,))
 
 
+_I32 = {}
+
+
+def _i32(v: int):
+    """memoized device scalar — a fresh jnp.int32 per op is a
+    host->device upload, and the in-pool word loop pays THREE per op
+    (offsets repeat heavily as TLSF recycles slots; this was ~90% of
+    the in-pool matmul's 5 ms/op on the tunnel)"""
+    v = int(v)
+    r = _I32.get(v)
+    if r is None:
+        if len(_I32) > 65536:
+            _I32.clear()
+        r = _I32[v] = jnp.int32(v)
+    return r
+
+
+_F32V = {}
+
+
+def _f32v(v: float):
+    v = float(v)
+    r = _F32V.get(v)
+    if r is None:
+        if len(_F32V) > 4096:
+            _F32V.clear()
+        r = _F32V[v] = jnp.float32(v)
+    return r
+
+
 class DeviceArena:
     """one preallocated device pool; offsets in f32 words"""
 
@@ -106,7 +136,7 @@ class DeviceArena:
     def write(self, woff: int, arr):
         flat = jnp.asarray(arr, jnp.float32).reshape(-1)
         with self._lock:
-            self.buf = _write(self.buf, flat, jnp.int32(woff))
+            self.buf = _write(self.buf, flat, _i32(woff))
         self._track()
 
     def read(self, woff: int, shape):
@@ -114,34 +144,33 @@ class DeviceArena:
         with self._lock:                    # a concurrent donation of
             # self.buf would invalidate it mid-read — dispatch under
             # the same lock as the writers
-            return _read(self.buf, jnp.int32(woff), n).reshape(shape)
+            return _read(self.buf, _i32(woff), n).reshape(shape)
 
     def fill(self, woff: int, v: float, numel: int):
         with self._lock:
-            self.buf = _fill(self.buf, jnp.int32(woff), jnp.float32(v),
-                             numel)
+            self.buf = _fill(self.buf, _i32(woff), _f32v(v), numel)
         self._track()
 
     # --- fused ops (read->compute->write, one donated executable) ----------
     def binop_tt(self, op: str, offa, sa, offb, sb, offo, so):
         with self._lock:
-            self.buf = _binop(self.buf, jnp.int32(offa), jnp.int32(offb),
-                              jnp.int32(offo), op, tuple(sa), tuple(sb),
+            self.buf = _binop(self.buf, _i32(offa), _i32(offb),
+                              _i32(offo), op, tuple(sa), tuple(sb),
                               tuple(so))
         self._track()
 
     def binop_ts(self, op: str, offa, sa, v: float, offo, so,
                  flip: bool = False):
         with self._lock:
-            self.buf = _binop_ts(self.buf, jnp.int32(offa),
-                                 jnp.float32(v), jnp.int32(offo), op,
+            self.buf = _binop_ts(self.buf, _i32(offa),
+                                 _f32v(v), _i32(offo), op,
                                  tuple(sa), tuple(so), flip)
         self._track()
 
     def matmul(self, offa, sa, offb, sb, offo):
         with self._lock:
-            self.buf = _matmul(self.buf, jnp.int32(offa), jnp.int32(offb),
-                               jnp.int32(offo), tuple(sa), tuple(sb))
+            self.buf = _matmul(self.buf, _i32(offa), _i32(offb),
+                               _i32(offo), tuple(sa), tuple(sb))
         self._track()
 
     def pointer(self):
