@@ -181,14 +181,10 @@ static void native_word(T4VM *vm, int id) {
     case W_DIVMOD: { double t = vm->tos, n = spop(vm);
                   sput(vm, scal(t != 0.0 ? std::fmod(n, t) : 0.0));
                   vm->tos = scal(t != 0.0 ? n / t : 0.0); } break;
-    case W_MULDIV: { double n2 = (double)vm->ss[vm->ss_idx - 1]
-                               * (double)vm->ss[vm->ss_idx - 2];
-                  vm->ss_idx -= 2;
+    case W_MULDIV: { double n2 = (double)spop(vm) * (double)spop(vm);
                   double t = vm->tos;
                   vm->tos = scal(t != 0.0 ? n2 / t : 0.0); } break;
-    case W_MULDIVMOD: { double n2 = (double)vm->ss[vm->ss_idx - 1]
-                                  * (double)vm->ss[vm->ss_idx - 2];
-                  vm->ss_idx -= 2;
+    case W_MULDIVMOD: { double n2 = (double)spop(vm) * (double)spop(vm);
                   double t = vm->tos;
                   sput(vm, scal(t != 0.0 ? std::fmod(n2, t) : 0.0));
                   vm->tos = scal(t != 0.0 ? std::floor(n2 / t) : 0.0); } break;

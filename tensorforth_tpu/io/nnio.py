@@ -144,8 +144,10 @@ def nsave(m, fname: str, mode: int = 0) -> int:
             kind = _opt_kind(m)
             if kind:
                 fs.write(b"\n--- opt.meta\n")
+                # int32, not float32: the step counter exceeds f32's
+                # 2^24 integer range on long runs (ADVICE r2)
                 fs.write(np.asarray([kind, m._iter],
-                                    dtype="<f4").tobytes())
+                                    dtype="<i4").tobytes())
                 for t, s in m._trainables():
                     fs.write(f"\n--- om.{s}\n".encode())
                     fs.write(t.mtum[s].numpy().astype("<f4").tobytes())
@@ -203,8 +205,11 @@ def nload(vm, m, fname: str, mode: int = 0) -> int:
     idx = binary.find(b"--- opt.meta\n", pos)
     if idx >= 0:
         from ..nn.ntypes import Optimizer
-        meta = np.frombuffer(binary[idx + 13:idx + 21], dtype="<f4")
+        meta = np.frombuffer(binary[idx + 13:idx + 21], dtype="<i4")
         kind, it = int(meta[0]), int(meta[1])
+        if kind not in (1, 2):            # pre-r3 files stored f32
+            meta = np.frombuffer(binary[idx + 13:idx + 21], dtype="<f4")
+            kind, it = int(meta[0]), int(meta[1])
         m.grad_alloc(Optimizer.ADAM if kind == 2 else Optimizer.SGDM)
         m._iter = it
         pos = idx + 21

@@ -40,9 +40,19 @@ class EventWriter:
             self._fs = open(self.path, "wb")
         self._file_version()
 
+
+    def _ck(self, rc):
+        """ADVICE r2: the native t4_tb_* calls return -1 on fwrite
+        failure (disk full, bad handle); the pure-Python path raises
+        OSError from file.write — match it instead of silently
+        dropping TensorBoard events."""
+        if rc < 0:
+            raise OSError(f"native TB write failed (rc={rc}) on {self.path}")
+        return rc
+
     def _file_version(self):
         if self._lib:
-            self._lib.t4_tb_file_version(self._h, time.time())
+            self._ck(self._lib.t4_tb_file_version(self._h, time.time()))
         else:
             self._write_event(e.f_str(3, "brain.Event:2"))
 
@@ -57,9 +67,9 @@ class EventWriter:
 
     def _write_event(self, body: bytes, use_step: bool = True):
         if self._lib:
-            self._lib.t4_tb_raw_body(self._h, body, len(body),
+            self._ck(self._lib.t4_tb_raw_body(self._h, body, len(body),
                                      time.time(), self.step,
-                                     1 if use_step else 0)
+                                     1 if use_step else 0))
             return
         ev = e.f_double(1, time.time())
         if use_step:
@@ -72,8 +82,8 @@ class EventWriter:
     # --- value builders ------------------------------------------------------
     def add_scalar(self, tag: str, v: float):
         if self._lib:
-            self._lib.t4_tb_scalar(self._h, tag.encode(), float(v),
-                                   self.step, time.time())
+            self._ck(self._lib.t4_tb_scalar(self._h, tag.encode(), float(v),
+                                   self.step, time.time()))
             return
         val = e.f_str(1, tag) + e.f_float(2, float(v))
         self._write_summary(e.f_msg(1, val))
@@ -82,8 +92,8 @@ class EventWriter:
         # TB text plugin: TensorProto(dtype=DT_STRING(7), string_val) +
         # SummaryMetadata{plugin_data{plugin_name:"text"}}
         if self._lib and "\0" not in text:
-            self._lib.t4_tb_text(self._h, tag.encode(), text.encode(),
-                                 self.step, time.time())
+            self._ck(self._lib.t4_tb_text(self._h, tag.encode(), text.encode(),
+                                 self.step, time.time()))
             return
         tensor = e.f_varint(1, 7) + e.f_bytes(8, text.encode("utf-8"))
         meta = e.f_msg(1, e.f_str(1, "text"))
@@ -92,8 +102,8 @@ class EventWriter:
 
     def add_image(self, tag: str, png: bytes, h: int, w: int):
         if self._lib:
-            self._lib.t4_tb_image(self._h, tag.encode(), png, len(png),
-                                  h, w, self.step, time.time())
+            self._ck(self._lib.t4_tb_image(self._h, tag.encode(), png, len(png),
+                                  h, w, self.step, time.time()))
             return
         img = (e.f_varint(1, h) + e.f_varint(2, w)
                + e.f_varint(3, 3) + e.f_bytes(4, png))
@@ -113,11 +123,11 @@ class EventWriter:
             ct = np.ascontiguousarray(counts, np.float64)
             import ctypes as C
             dp = C.POINTER(C.c_double)
-            self._lib.t4_tb_histo(
+            self._ck(self._lib.t4_tb_histo(
                 self._h, tag.encode(), mn, mx, float(d.size),
                 float(d.sum()), float((d * d).sum()),
                 ed.ctypes.data_as(dp), ct.ctypes.data_as(dp),
-                len(ct), self.step, time.time())
+                len(ct), self.step, time.time()))
             return
         msg = (e.f_double(1, mn) + e.f_double(2, mx)
                + e.f_double(3, float(d.size))

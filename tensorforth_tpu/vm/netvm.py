@@ -546,14 +546,17 @@ class NetVM(TensorVM):
         def _ds_seek(vm):
             """( D pos -- D ) reposition the corpus; the next fetch
             serves the batch starting at sample `pos`"""
+            # validate BOTH operands before popping anything so the
+            # usage-error path leaves the stack untouched, matching
+            # ds.tell and the other words (ADVICE r2)
             if vm.ss.size() < 1 or IS_OBJ(vm.tos):
                 vm.sys.perr("", "D pos ds.seek? ")
                 return
-            pos = vm.POPi()
-            d = vm.mmu.du2obj(vm.tos)
+            d = vm.mmu.du2obj(vm.ss[-1])
             if d is None or not d.is_dataset() or d._corpus is None:
                 vm.sys.perr("", "D pos ds.seek? ")
                 return
+            pos = vm.POPi()
             cp = d._corpus
             cp._pos = max(0, min(int(pos), cp.size))
             cp.eof = cp._pos >= cp.size

@@ -153,6 +153,10 @@ def test_arena_dataset_rebinds_into_pool(t4a, monkeypatch):
     from tensorforth_tpu.mu.mmu import MMU
     t4a.forth("0 trace\n8 28 28 1 nn.model flatten 10 linear softmax "
               "constant rdm\nrdm batchsize dataset mnist_train constant rdd")
+    # the Loader corpus registry caches position process-wide: an
+    # earlier test's ds.seek can leave mnist_train at EOF, making the
+    # creation-fetch serve an all-zero batch (ADVICE r2) — rewind first
+    t4a.forth("rdd rewind drop rdd fetch drop")
     mmu = MMU.get_mmu()
     ds = next(o for o in mmu._objs.values()
               if getattr(o, "is_dataset", lambda: False)())

@@ -132,3 +132,21 @@ def test_fuzz_model_builder(t4):
         _reset(t4)
     out = t4.forth("1 2 + . cr")
     assert "3 " in out, f"REPL damaged after model fuzz: {out[-300:]}"
+
+
+def test_fuzz_muldiv_underflow_bounded(t4):
+    """ADVICE r2 (medium): repeated */ and */mod on an underflowed
+    stack must not drive ss_idx unboundedly negative — the native
+    W_MULDIV used to read ss[ss_idx-1]/ss[ss_idx-2] raw and decrement
+    by 2 with no clamp (csrc/t4core.cpp), walking ~800KB below the
+    numpy buffer after ': f 100000 for */ next ; f'."""
+    t4.forth(": fzmd 100000 for */ next ;")
+    t4.forth("fzmd")
+    assert t4.vm.ss.idx >= 0, \
+        f"ss_idx went negative: {t4.vm.ss.idx}"
+    t4.forth(": fzmdm 50000 for */mod drop next ;")
+    t4.forth("fzmdm")
+    assert t4.vm.ss.idx >= 0
+    _reset(t4)
+    out = t4.forth("2 3 4 */ . cr")        # 2*3/4 = 1.5
+    assert "1.5" in out, f"*/ broken after underflow fuzz: {out[-200:]}"
