@@ -277,11 +277,19 @@ def _moe_fwd(x, w1aug, w2, top_k: int):
     (keeps the generic 2-slot layer contract); w2 [E,F,D].
     Extension layer (reference roadmap README.md:702-720); the expert
     axis shards over the mesh's 'ep' axis for expert parallelism."""
-    from ..parallel.moe import moe_fwd
+    import os
+    from ..parallel.moe import moe_fwd, moe_fwd_dispatch, moe_select
     n, s, d, _ = x.shape
     f = w1aug.shape[2] - 1
-    y = moe_fwd(x.reshape(n, s, d), w1aug[:, :, f],
-                w1aug[:, :, :f], w2, top_k)
+    e = w1aug.shape[0]
+    if moe_select((n, s), e, top_k):
+        cf = float(os.environ.get("T4_MOE_CAP", "1.25"))
+        y = moe_fwd_dispatch(x.reshape(n, s, d), w1aug[:, :, f],
+                             w1aug[:, :, :f], w2, top_k,
+                             capacity_factor=cf)
+    else:
+        y = moe_fwd(x.reshape(n, s, d), w1aug[:, :, f],
+                    w1aug[:, :, :f], w2, top_k)
     return y.reshape(n, s, d, 1)
 
 

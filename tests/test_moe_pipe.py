@@ -282,3 +282,119 @@ sgm sgx forward sgh nn.onehot= drop
     w_res = float(t4.forth("sgl 0 nn.w sum . cr drop").strip().split()[0])
     assert abs(w_cont - w_res) < 1e-4, \
         f"sgdm resume diverged: {w_cont} vs {w_res}"
+
+
+# ---------------------------------------------------------------------------
+# token-dispatch MoE (VERDICT r2 #5): real top-k routing with capacity
+# buffers + scatter/gather, cost scaling with k/E instead of E
+# ---------------------------------------------------------------------------
+
+def _moe_rand(seed, n=4, t=16, d=8, e=4, f=16):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(n, t, d).astype(np.float32))
+    wr = jnp.asarray(rs.randn(e, d).astype(np.float32) * 0.3)
+    w1 = jnp.asarray(rs.randn(e, d, f).astype(np.float32) * 0.2)
+    w2 = jnp.asarray(rs.randn(e, f, d).astype(np.float32) * 0.2)
+    return x, wr, w1, w2
+
+
+def test_moe_dispatch_matches_soft_when_undropped():
+    """with capacity >= any expert's real load the dispatch path is
+    the same math as the soft path (top-k renormalized gates)"""
+    from tensorforth_tpu.parallel.moe import moe_fwd, moe_fwd_dispatch
+    x, wr, w1, w2 = _moe_rand(0)
+    e, k = w1.shape[0], 2
+    soft = moe_fwd(x, wr, w1, w2, top_k=k)
+    # cf = E/k makes cap = S, so no expert can overflow
+    disp = moe_fwd_dispatch(x, wr, w1, w2, top_k=k,
+                            capacity_factor=float(e) / k)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(soft),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_dispatch_grads_match_soft():
+    from tensorforth_tpu.parallel.moe import moe_fwd, moe_fwd_dispatch
+    x, wr, w1, w2 = _moe_rand(1)
+    e, k = w1.shape[0], 2
+
+    def loss_soft(x, wr, w1, w2):
+        return jnp.sum(moe_fwd(x, wr, w1, w2, top_k=k) ** 2)
+
+    def loss_disp(x, wr, w1, w2):
+        return jnp.sum(moe_fwd_dispatch(x, wr, w1, w2, top_k=k,
+                                        capacity_factor=float(e) / k) ** 2)
+
+    gs = jax.grad(loss_soft, argnums=(0, 1, 2, 3))(x, wr, w1, w2)
+    gd = jax.grad(loss_disp, argnums=(0, 1, 2, 3))(x, wr, w1, w2)
+    for a, b in zip(gs, gd):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_moe_dispatch_capacity_drops_tokens():
+    """overflowed assignments must contribute exactly zero, not be
+    clamped into slot C-1 (scatter mode='drop' contract)"""
+    from tensorforth_tpu.parallel.moe import moe_fwd_dispatch
+    x, _, w1, w2 = _moe_rand(2)
+    x = jnp.abs(x) + 0.1                 # positive sums: router below is
+    e, d = w1.shape[0], w1.shape[1]      # then unambiguous for every token
+    # router that sends EVERY token to expert 0
+    wr = jnp.zeros((e, d), jnp.float32).at[0].set(100.0)
+    y = moe_fwd_dispatch(x, wr, w1, w2, top_k=1, capacity_factor=0.25)
+    s = x.shape[0] * x.shape[1]
+    cap = int(np.ceil(s / e * 0.25))
+    yt = np.asarray(y).reshape(s, -1)
+    # first `cap` tokens served, the rest dropped to zero
+    assert np.all(np.abs(yt[cap:]) == 0.0), "overflow tokens not dropped"
+    assert np.any(yt[:cap] != 0.0)
+
+
+def test_moe_dispatch_flops_scale_with_k_over_e():
+    """the whole point: a k=1-of-4 dispatch step must cost ~1/4 the
+    dense einsum's expert FLOPs (VERDICT r2 #5 'FLOP-count assertion')"""
+    from tensorforth_tpu.parallel.moe import moe_fwd, moe_fwd_dispatch
+    x, wr, w1, w2 = _moe_rand(3, n=8, t=32, d=32, e=4, f=64)
+
+    def fl(fn):
+        c = jax.jit(fn).lower(x, wr, w1, w2).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        return float(c["flops"])
+
+    dense = fl(lambda *a: moe_fwd(*a, top_k=1))
+    disp = fl(lambda *a: moe_fwd_dispatch(*a, top_k=1,
+                                          capacity_factor=1.0))
+    # expert matmuls dominate; router/gather overheads allow slack
+    assert disp < 0.45 * dense, \
+        f"dispatch not cheaper: {disp:.0f} vs dense {dense:.0f}"
+
+
+def test_moe_select_static_rules(monkeypatch):
+    from tensorforth_tpu.parallel.moe import moe_select
+    monkeypatch.delenv("T4_MOE_DISPATCH", raising=False)
+    assert not moe_select((4, 8), 4, 2)          # 32 tokens: too small
+    assert moe_select((8, 64), 8, 2)             # 512 tokens, k*cf << E
+    assert not moe_select((8, 64), 4, 2)         # k=2,cf1.25 > E/2
+    monkeypatch.setenv("T4_MOE_DISPATCH", "1")
+    assert moe_select((1, 1), 2, 2)
+    monkeypatch.setenv("T4_MOE_DISPATCH", "0")
+    assert not moe_select((8, 64), 8, 2)
+
+
+@needs_mesh
+def test_moe_dispatch_ep_sharded_matches_replicated():
+    """the dispatch path under an ep-sharded mesh must produce the
+    replicated result (scatter/gather become XLA all-to-alls)"""
+    from tensorforth_tpu.parallel.moe import (moe_fwd_dispatch,
+                                              make_ep_mesh, shard_experts)
+    x, wr, w1, w2 = _moe_rand(4, n=8, t=32, d=16, e=8, f=32)
+    k = 2
+    ref = moe_fwd_dispatch(x, wr, w1, w2, top_k=k, capacity_factor=2.0)
+    mesh = make_ep_mesh(8)
+    wr_s, w1_s, w2_s = shard_experts(mesh, wr, w1, w2)
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") \
+            else mesh:
+        out = jax.jit(lambda *a: moe_fwd_dispatch(*a, top_k=k,
+                                                  capacity_factor=2.0))(
+            x, wr_s, w1_s, w2_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
