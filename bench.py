@@ -8,9 +8,19 @@ samples/sec (reported in `details`).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Methodology notes: iterations are chained (X = A @ X * s) so no
-caching/deduplication layer can elide work, and timing brackets a
-device sync via a final readback.
+Methodology (VERDICT r2 #1/#3):
+* iterations are chained (X = A @ X * s) so no caching layer can elide
+  work; timing brackets a real device sync via a scalar readback.
+* PRECISION honesty: the headline GEMM class is bf16-multiplicand /
+  f32-accumulate — both the framework's gemm4 kernel (explicit bf16
+  cast) and the XLA dot under default matmul precision truncate
+  multiplicands.  The true-f32 rate is reported separately as
+  `gemm3_f32_strict_gflops`.  The reference kernel being compared
+  against IS genuine f32 (src/t4math.cu:478-583).
+* every interactive metric is median-of-N (N>=5) with [min, max]
+  spread in the JSON — the shared TPU tunnel swings 2x between
+  windows, and a best-of-2 silently flatters (r2 records disagreed by
+  2.8x on word-epoch).
 """
 import json
 import os
@@ -21,72 +31,88 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_GEMM_GFLOPS = 2.0 * 1024 ** 3 / 3.2e-3 / 1e9        # 671.1
 
+GEMM_SIZES = (1024, 2048, 4096)
 
-def bench_gemm(n_iter: int = 8192, size: int = 1024) -> float:
-    # n_iter sized so device time >> the ~25 ms tunnel readback RTT:
-    # 8192 x 2.1 GFLOP = 17.6 TFLOP = ~100 ms at MXU rate, so the RTT
-    # distorts the reported rate by <25% (r1's n_iter=512 numbers were
-    # RTT-dominated and ~5x understated).
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _med_spread(xs, nd=1):
+    """(median, [min, max]) rounded"""
+    return round(_median(xs), nd), [round(min(xs), nd), round(max(xs), nd)]
+
+
+def bench_gemm_at(size: int, reps: int = 5):
+    """per-size chained GEMM rates: returns dict of lists of GFLOP/s
+    samples for 'xla', 'hybrid' (gemm4) and, at 1024 only,
+    'f32_strict' (gemm3).  n_iter sized so device time >> the ~25 ms
+    tunnel readback RTT."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from tensorforth_tpu.ops.gemm_pallas import mm_pallas
 
+    n_iter = max(64, int(8192 * (1024 / size) ** 3))
     k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
     a = jax.random.uniform(k1, (size, size), jnp.float32)
     x0 = jax.random.uniform(k2, (size, size), jnp.float32)
     s = jnp.float32(1.0 / size)
 
-    @jax.jit
-    def chain_xla(a, x):
-        def body(x, _):
-            return jnp.dot(a, x, preferred_element_type=jnp.float32) * s, None
-        x, _ = jax.lax.scan(body, x, None, length=n_iter)
-        return x
+    def chain(f):
+        @jax.jit
+        def run(a, x):
+            def body(x, _):
+                return f(a, x), None
+            x, _ = jax.lax.scan(body, x, None, length=n_iter)
+            return x
+        return run
 
-    def timed(fn, reps=3, tag=""):
+    def timed(fn, tag):
         print(f"[bench] compiling {tag} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         float(fn(a, x0)[0, 0])                 # warm & compile & sync
         print(f"[bench] {tag} compiled+warm in "
-              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-        best = float("inf")
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+        rates = []
         for _ in range(reps):
             t0 = time.perf_counter()
             r = fn(a, x0)
             float(r[0, 0])                     # force real readback
-            best = min(best, time.perf_counter() - t0)
-        return n_iter * 2.0 * size ** 3 / best / 1e9
+            dt = time.perf_counter() - t0
+            rates.append(n_iter * 2.0 * size ** 3 / dt / 1e9)
+        return rates
 
-    gf_xla = timed(chain_xla, tag="xla")
-
-    @jax.jit
-    def chain_pallas(a, x):
-        def body(x, _):
-            return mm_pallas(a, x, 3) * s, None
-        x, _ = jax.lax.scan(body, x, None, length=n_iter)
-        return x
-
-    @jax.jit
-    def chain_pallas4(a, x):
-        def body(x, _):                       # gemm4: fused-scale hybrid
-            return mm_pallas(a, x, 4, scale=float(1.0 / size)), None
-        x, _ = jax.lax.scan(body, x, None, length=n_iter)
-        return x
-
+    out = {}
+    out["xla"] = timed(
+        chain(lambda a, x: jnp.dot(
+            a, x, preferred_element_type=jnp.float32) * s),
+        f"xla {size}^3")
     try:
-        gf_pal = timed(chain_pallas, tag="pallas f32-strict (gemm3)")
-    except Exception:
-        gf_pal = 0.0
-    try:
-        gf_pal4 = timed(chain_pallas4, tag="pallas hybrid (gemm4)")
-    except Exception:
-        gf_pal4 = 0.0
-    return gf_xla, max(gf_pal, gf_pal4)
+        out["hybrid"] = timed(
+            chain(lambda a, x: mm_pallas(a, x, 4, scale=float(1.0 / size))),
+            f"pallas hybrid gemm4 {size}^3")
+    except Exception as e:
+        print(f"[bench] gemm4 @{size} failed: {e}", file=sys.stderr,
+              flush=True)
+        out["hybrid"] = [0.0]
+    if size == 1024:
+        try:
+            out["f32_strict"] = timed(
+                chain(lambda a, x: mm_pallas(a, x, 3) * s),
+                f"pallas f32-strict gemm3 {size}^3")
+        except Exception as e:
+            print(f"[bench] gemm3 @{size} failed: {e}", file=sys.stderr,
+                  flush=True)
+            out["f32_strict"] = [0.0]
+    return out
 
 
-def bench_mnist(n_steps: int = 30, batch: int = 100):
-    """t4_30e CNN train step samples/sec (fwd+loss+grads+Adam, one jit)"""
+def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 5):
+    """t4_30e CNN train step samples/sec (fwd+loss+grads+Adam, one jit).
+    Returns (ms_per_batch samples, epoch-mode sps samples)."""
     import jax
     import jax.numpy as jnp
     from tensorforth_tpu.models import mnist_cnn
@@ -102,20 +128,21 @@ def bench_mnist(n_steps: int = 30, batch: int = 100):
     y = jnp.tile(jnp.eye(10, dtype=jnp.float32),
                  (batch // 10, 1)).reshape(batch, 1, 10, 1)
     key = jax.random.PRNGKey(7)
-    print("[bench] compiling mnist train step ...", file=sys.stderr, flush=True)
+    print("[bench] compiling mnist train step ...", file=sys.stderr,
+          flush=True)
     params, opt, loss = step(params, opt, x, y, key)     # compile
     float(loss)
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt, loss = step(params, opt, x, y,
-                                 jax.random.fold_in(key, i))
-    lv = float(loss)                                     # sync
-    dt = time.perf_counter() - t0
-    sps_interactive = n_steps * batch / dt
+    ms_samples = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            params, opt, loss = step(params, opt, x, y,
+                                     jax.random.fold_in(key, i))
+        float(loss)                                      # sync
+        ms_samples.append((time.perf_counter() - t0) / n_steps * 1000.0)
 
     # --- epoch mode: device-resident batches, lax.scan over the epoch ---
     # (the TPU-first data path: one dispatch per EPOCH, not per batch)
-    from tensorforth_tpu.parallel.trainer import _loss_pure
     n_batches = 64
     xs = jax.random.uniform(jax.random.PRNGKey(1),
                             (n_batches, batch, 28, 28, 1))
@@ -139,12 +166,14 @@ def bench_mnist(n_steps: int = 30, batch: int = 100):
     print("[bench] compiling epoch scan ...", file=sys.stderr, flush=True)
     p2, o2, l2 = epoch(params, opt, xs, ys, key)
     float(l2)
-    t0 = time.perf_counter()
-    p2, o2, l2 = epoch(params, opt, xs, ys, key)
-    float(l2)
-    dt_e = time.perf_counter() - t0
-    sps_epoch = n_batches * batch / dt_e
-    return sps_interactive, dt / n_steps * 1000.0, sps_epoch
+    sps_samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        p2, o2, l2 = epoch(params, opt, xs, ys, key)
+        float(l2)
+        sps_samples.append(n_batches * batch
+                           / (time.perf_counter() - t0))
+    return ms_samples, sps_samples
 
 
 def _repl():
@@ -171,10 +200,10 @@ def _repl():
     return inst, run
 
 
-def bench_word_matmul():
+def bench_word_matmul(reps: int = 5):
     """t4_20a `mx` word loop VERBATIM (examples/t4_20a.4th:19-25):
     [512,1024]@[1024,256] per cycle through the interpreter's @ word.
-    Reference GTX 1660: 0.768 ms/cycle."""
+    Reference GTX 1660: 0.768 ms/cycle.  Returns ms/cycle samples."""
     import re
     _, run = _repl()
     run("0 trace\n512 1024 matrix rand 1024 256 matrix ones")
@@ -182,18 +211,20 @@ def bench_word_matmul():
         '." => " . ."  msec/cycle" cr ;')
     print("[bench] word-path mx warmup ...", file=sys.stderr, flush=True)
     run("99 mx")                                    # compile + warm
-    best = float("inf")
-    for _ in range(2):
+    samples = []
+    for _ in range(reps):
         out = run("999 mx")
-        best = min(best, float(re.search(r"=> ([-+\d.eE]+) ", out).group(1)))
-    return best
+        samples.append(
+            float(re.search(r"=> ([-+\d.eE]+) ", out).group(1)))
+    return samples
 
 
-def bench_word_epoch(n_batches: int = 100, batch: int = 100):
+def bench_word_epoch(n_batches: int = 100, batch: int = 100,
+                     reps: int = 5):
     """t4_30e inner training loop VERBATIM (forward / loss.ce lox ! /
     nn.hit hit +! / backprop / nn.adam per batch) — the interactive
     word-at-a-time path with deferred-scalar futures.  Returns
-    (ms_per_batch, samples_per_sec)."""
+    ms_per_batch samples."""
     import re
     os.environ["T4_MAX_BATCH"] = str(n_batches)
     try:
@@ -210,20 +241,24 @@ variable hit 0 hit ! variable lox
         os.environ["T4_MAX_BATCH"] = "2"
         run("bm bds ep drop hit @ . 0 hit !")       # compile + warm + sync
         os.environ["T4_MAX_BATCH"] = str(n_batches)
-        run("bds rewind")
-        out = run('clock bm bds ep drop clock swap - ." EPMS= " . cr '
-                  'hit @ . 0 hit !')
-        ms = float(re.search(r"EPMS= ([-+\d.eE]+) ", out).group(1))
-        return ms / n_batches, n_batches * batch / (ms / 1e3)
+        samples = []
+        for _ in range(reps):
+            run("bds rewind")
+            out = run('clock bm bds ep drop clock swap - ." EPMS= " . cr '
+                      'hit @ . 0 hit !')
+            ms = float(re.search(r"EPMS= ([-+\d.eE]+) ", out).group(1))
+            samples.append(ms / n_batches)
+        return samples
     finally:
         os.environ.pop("T4_MAX_BATCH", None)
 
 
 def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
-                    n_iter: int = 64):
-    """flash-attention kernel vs the fused XLA einsum path at a serving
-    shape ([batch*heads, S, dh]); reports (pallas, xla) TFLOP/s over
-    the 4*NH*S^2*dh attention FLOPs"""
+                    n_iter: int = 64, reps: int = 5):
+    """flash-attention kernels vs the fused XLA einsum path at a
+    serving shape ([batch*heads, S, dh]); returns dict of TFLOP/s
+    sample lists over the 4*NH*S^2*dh attention FLOPs: 'hybrid'
+    (bf16-multiplicand flash), 'f32_strict' (f32 flash), 'xla'."""
     import jax
     import jax.numpy as jnp
     from tensorforth_tpu.ops.attn_pallas import flash_attention
@@ -254,27 +289,40 @@ def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
         print(f"[bench] compiling attention {tag} ...", file=sys.stderr,
               flush=True)
         float(fn(q, k, v)[0, 0, 0])
-        best = float("inf")
-        for _ in range(3):
+        rates = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(fn(q, k, v)[0, 0, 0])
-            best = min(best, time.perf_counter() - t0)
-        return flops / best / 1e12
+            rates.append(flops / (time.perf_counter() - t0) / 1e12)
+        return rates
 
+    out = {}
     try:
-        tf_pal = timed(chain(lambda q, k, v: flash_attention(q, k, v)),
-                       "pallas-flash")
-    except Exception:
-        tf_pal = 0.0
-    tf_xla = timed(chain(xla_attn), "xla")
-    return tf_pal, tf_xla
+        out["hybrid"] = timed(
+            chain(lambda q, k, v: flash_attention(q, k, v, hybrid=True)),
+            "pallas-flash hybrid")
+    except Exception as e:
+        print(f"[bench] hybrid flash failed: {e}", file=sys.stderr,
+              flush=True)
+        out["hybrid"] = [0.0]
+    try:
+        out["f32_strict"] = timed(
+            chain(lambda q, k, v: flash_attention(q, k, v)),
+            "pallas-flash f32")
+    except Exception as e:
+        print(f"[bench] f32 flash failed: {e}", file=sys.stderr,
+              flush=True)
+        out["f32_strict"] = [0.0]
+    out["xla"] = timed(chain(xla_attn), "xla")
+    return out
 
 
-def bench_serving(batch: int = 8, n_prompt: int = 32, n_new: int = 224):
+def bench_serving(batch: int = 8, n_prompt: int = 32, n_new: int = 224,
+                  reps: int = 5):
     """LM decode throughput: KV-cache autoregressive generation
-    (nn/serve.py) — prefill + decode as ONE device program"""
+    (nn/serve.py) — prefill + decode as ONE device program.
+    Returns tokens/sec samples."""
     import numpy as np
-    import time as _t
     from tensorforth_tpu.models import tiny_lm
     from tensorforth_tpu.nn.serve import generate
     m = tiny_lm(batch=batch, seq=n_prompt, vocab=64, dim=64, heads=4,
@@ -284,12 +332,12 @@ def bench_serving(batch: int = 8, n_prompt: int = 32, n_new: int = 224):
     print("[bench] compiling LM decode loop ...", file=sys.stderr,
           flush=True)
     generate(m, prompt, n_new)                  # compile + warm
-    best = float("inf")
-    for _ in range(3):
+    samples = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out = generate(m, prompt, n_new)
-        best = min(best, time.perf_counter() - t0)
-    return batch * n_new / best
+        generate(m, prompt, n_new)
+        samples.append(batch * n_new / (time.perf_counter() - t0))
+    return samples
 
 
 def run_accuracy_gate(epochs: int = 20, n_batches: int = 0):
@@ -328,48 +376,82 @@ def main():
     except Exception:
         pass
     dev = jax.devices()[0]
-    gf_xla, gf_pal = bench_gemm()
-    sps, ms_step, sps_epoch = bench_mnist()
-    ms_mx = bench_word_matmul()
-    wb_ms, wb_sps = bench_word_epoch()
+
+    details = {"device": str(dev),
+               "reference_gemm_gflops": round(REF_GEMM_GFLOPS, 1)}
+
+    headline = 0.0
+    for size in GEMM_SIZES:
+        g = bench_gemm_at(size)
+        xm, xs = _med_spread(g["xla"])
+        hm, hs = _med_spread(g["hybrid"])
+        details[f"gemm_xla_{size}_gflops_med"] = xm
+        details[f"gemm_xla_{size}_spread"] = xs
+        details[f"gemm_hybrid_{size}_gflops_med"] = hm
+        details[f"gemm_hybrid_{size}_spread"] = hs
+        details[f"gemm_hybrid_vs_xla_{size}"] = round(hm / max(xm, 1e-9), 4)
+        if size == 1024:
+            fm, fs = _med_spread(g["f32_strict"])
+            details["gemm3_f32_strict_gflops_med"] = fm
+            details["gemm3_f32_strict_spread"] = fs
+            headline = hm
+
+    ms_steps, sps_epoch = bench_mnist()
+    m, s = _med_spread(ms_steps, 3)
+    details["mnist_cnn_ms_per_batch100_med"] = m
+    details["mnist_cnn_ms_per_batch100_spread"] = s
+    details["mnist_cnn_samples_per_sec_med"] = round(100e3 / m, 0)
+    m, s = _med_spread(sps_epoch, 0)
+    details["mnist_cnn_epoch_mode_samples_per_sec_med"] = m
+    details["mnist_cnn_epoch_mode_spread"] = s
+
+    mx = bench_word_matmul()
+    m, s = _med_spread(mx, 4)
+    details["word_mx_ms_per_cycle_med"] = m
+    details["word_mx_ms_per_cycle_spread"] = s
+    details["word_mx_vs_gtx1660_0.768ms"] = round(0.768 / m, 2)
+
+    wb = bench_word_epoch()
+    m, s = _med_spread(wb, 3)
+    details["word_epoch_ms_per_batch100_med"] = m
+    details["word_epoch_ms_per_batch100_spread"] = s
+    details["word_epoch_samples_per_sec_med"] = round(100e3 / m, 0)
+
     try:
-        lm_tps = bench_serving()
-    except Exception:
-        lm_tps = 0.0
+        lm = bench_serving()
+        m, s = _med_spread(lm, 0)
+        details["lm_decode_tokens_per_sec_med"] = m
+        details["lm_decode_tokens_per_sec_spread"] = s
+    except Exception as e:
+        print(f"[bench] serving failed: {e}", file=sys.stderr, flush=True)
+
     try:
-        attn_pal, attn_xla = bench_attention()
-    except Exception:
-        attn_pal = attn_xla = 0.0
-    gate = None
+        at = bench_attention()
+        for name in ("hybrid", "f32_strict", "xla"):
+            m, s = _med_spread(at[name])
+            details[f"flash_attn_2k_{name}_tflops_med"] = m
+            details[f"flash_attn_2k_{name}_spread"] = s
+    except Exception as e:
+        print(f"[bench] attention failed: {e}", file=sys.stderr,
+              flush=True)
+
     if os.environ.get("T4_BENCH_GATE", "1") != "0":    # default ON
         try:
-            gate = run_accuracy_gate(epochs=20)
+            details["t4_30e_test_accuracy_20ep"] = round(
+                run_accuracy_gate(epochs=20), 4)
         except Exception as e:
             print(f"[bench] gate failed: {e}", file=sys.stderr, flush=True)
-    best = max(gf_xla, gf_pal)
-    details = {
-        "device": str(dev),
-        "gemm_xla_gflops": round(gf_xla, 1),
-        "gemm_pallas_gflops": round(gf_pal, 1),
-        "mnist_cnn_samples_per_sec": round(sps, 0),
-        "mnist_cnn_ms_per_batch100": round(ms_step, 3),
-        "mnist_cnn_epoch_mode_samples_per_sec": round(sps_epoch, 0),
-        "word_mx_ms_per_cycle": round(ms_mx, 4),
-        "word_mx_vs_gtx1660_0.768ms": round(0.768 / ms_mx, 2),
-        "word_epoch_ms_per_batch100": round(wb_ms, 3),
-        "word_epoch_samples_per_sec": round(wb_sps, 0),
-        "lm_decode_tokens_per_sec": round(lm_tps, 0),
-        "flash_attn_2k_tflops": round(attn_pal, 1),
-        "flash_attn_2k_xla_tflops": round(attn_xla, 1),
-        "reference_gemm_gflops": round(REF_GEMM_GFLOPS, 1),
-    }
-    if gate is not None:
-        details["t4_30e_test_accuracy_20ep"] = round(gate, 4)
+
     print(json.dumps({
-        "metric": "GEMM 1024^3 f32 GFLOP/s (chained, synced)",
-        "value": round(best, 1),
+        # precision-honest label: bf16 multiplicands, f32 accumulation
+        # (the XLA-default matmul class); the f32-strict rate is
+        # details["gemm3_f32_strict_gflops_med"].  The 671 GFLOP/s
+        # baseline kernel is genuine f32.
+        "metric": ("GEMM 1024^3 bf16-multiplicand/f32-accum GFLOP/s "
+                   "(XLA-default class; chained, synced, median of 5)"),
+        "value": round(headline, 1),
         "unit": "GFLOP/s",
-        "vs_baseline": round(best / REF_GEMM_GFLOPS, 2),
+        "vs_baseline": round(headline / REF_GEMM_GFLOPS, 2),
         "details": details,
     }))
 

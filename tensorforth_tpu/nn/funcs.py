@@ -165,6 +165,15 @@ def _flash_ok(s: int, dh: int) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _attn_hybrid() -> bool:
+    """T4_ATTN_HYBRID=1 opts the ATTN flash path into bf16-multiplicand
+    dots (f32 softmax/accumulate — the v8 GEMM treatment, ~2x MXU rate;
+    VERDICT r2 #8).  Default off: the word-path numerics contract stays
+    strict-f32 unless the user opts in."""
+    import os
+    return os.environ.get("T4_ATTN_HYBRID", "0") == "1"
+
+
 def _sdpa_ref(q, k, v, causal):
     """exact softmax attention, [B, S, dh] (XLA path / flash oracle)"""
     s, dh = q.shape[1], q.shape[2]
@@ -192,7 +201,8 @@ def _sdpa_fwd_rule(q, k, v, causal):
     _, s, dh = q.shape
     if _flash_ok(s, dh):
         from ..ops.attn_pallas import flash_attention
-        o, lse = flash_attention(q, k, v, causal=causal, return_lse=True)
+        o, lse = flash_attention(q, k, v, causal=causal, return_lse=True,
+                                 hybrid=_attn_hybrid())
         return o, (q, k, v, o, lse)
     o = _sdpa_ref(q, k, v, causal)
     return o, (q, k, v, None, None)
@@ -203,7 +213,8 @@ def _sdpa_bwd_rule(causal, res, g):
     _, s, dh = q.shape
     if lse is not None:
         from ..ops.attn_pallas import flash_attention_bwd
-        return flash_attention_bwd(q, k, v, o, lse, g, causal=causal)
+        return flash_attention_bwd(q, k, v, o, lse, g, causal=causal,
+                                   hybrid=_attn_hybrid())
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _sdpa_ref(q_, k_, v_, causal), q, k, v)
     return vjp(g)

@@ -177,19 +177,23 @@ def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
                 f"\\   nn.train mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}\n")
 
     @jax.jit
-    def epoch(params, opt_m, opt_v, key):
+    def epoch(params, opt_m, opt_v, xs, ys, key):
+        # xs/ys are arguments, not closed over: multi-host global
+        # arrays span non-addressable devices and cannot be captured
+        # as jit constants (found by the real 2-process test)
         def body(carry, xy):
             p, m, v = carry
             p, m, v, l = step(p, m, v, xy[0], xy[1], key)
             return (p, m, v), l
-        (p, m, v), ls = jax.lax.scan(body, (params, opt_m, opt_v), (x, y))
+        (p, m, v), ls = jax.lax.scan(body, (params, opt_m, opt_v),
+                                     (xs, ys))
         return p, m, v, ls.mean()
 
     loss = 0.0
     from ..system import System
     sys = System.get_sys()
     for e in range(epochs):
-        params, opt_m, opt_v, lv = epoch(params, opt_m, opt_v,
+        params, opt_m, opt_v, lv = epoch(params, opt_m, opt_v, x, y,
                                          jax.random.PRNGKey(e))
         if trace:
             loss = float(lv)

@@ -25,9 +25,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
+def _dot(a, b, hybrid: bool):
+    """MXU dot: hybrid casts multiplicands to bf16 (the v8 GEMM
+    treatment — bf16 inputs, f32 accumulate; VERDICT r2 #8) while the
+    softmax statistics and accumulators stay f32."""
+    if hybrid:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, *rest,
                   bq: int, bkv: int, scale: float, causal: bool,
-                  save_lse: bool):
+                  save_lse: bool, hybrid: bool = False):
     if save_lse:
         o_ref, lse_ref, m_sc, l_sc, acc_sc = rest
     else:
@@ -45,7 +55,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest,
         q = q_ref[0]                                # [bq, dh]
         k = k_ref[0]                                # [bkv, dh]
         v = v_ref[0]                                # [bkv, dh]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _dot(q, k.T, hybrid) * scale
         if causal:
             rows = q_i * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 0)
@@ -59,8 +69,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)                      # [bq, bkv]
         l_new = alpha * l_sc[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
-        acc_sc[:] = acc_sc[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
+        acc_sc[:] = acc_sc[:] * alpha + _dot(p, v, hybrid)
         m_sc[:, 0:1] = m_new
         l_sc[:, 0:1] = l_new
 
@@ -84,7 +93,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest,
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                           dk_ref, dv_ref, dk_sc, dv_sc,
-                          *, bq: int, bkv: int, scale: float, causal: bool):
+                          *, bq: int, bkv: int, scale: float,
+                          causal: bool, hybrid: bool = False):
     """dK/dV: grid (B, n_kv, n_q) — kv block stationary, q blocks stream"""
     kv_i = pl.program_id(1)
     q_i = pl.program_id(2)
@@ -101,7 +111,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         do = do_ref[0]
         o = o_ref[0]
         lse = lse_ref[0][:, 0:1]                    # [bq, 1]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _dot(q, k.T, hybrid) * scale
         if causal:
             rows = q_i * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 0)
@@ -109,12 +119,11 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                 jnp.int32, (bq, bkv), 1)
             s = jnp.where(cols <= rows, s, NEG_INF)
         p = jnp.exp(s - lse)                        # [bq, bkv] exact probs
-        dv_sc[:] += jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        dv_sc[:] += _dot(p.T, do, hybrid)
+        dp = _dot(do, v.T, hybrid)
         delta = jnp.sum(do * o, axis=-1, keepdims=True)   # [bq, 1]
         ds = p * (dp - delta)
-        dk_sc[:] += scale * jnp.dot(ds.T, q,
-                                    preferred_element_type=jnp.float32)
+        dk_sc[:] += scale * _dot(ds.T, q, hybrid)
 
     if causal:
         @pl.when(kv_i * bkv <= q_i * bq + bq - 1)
@@ -131,7 +140,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                          dq_ref, dq_sc,
-                         *, bq: int, bkv: int, scale: float, causal: bool):
+                         *, bq: int, bkv: int, scale: float,
+                         causal: bool, hybrid: bool = False):
     """dQ: grid (B, n_q, n_kv) — q block stationary, kv blocks stream"""
     q_i = pl.program_id(1)
     kv_i = pl.program_id(2)
@@ -147,7 +157,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         do = do_ref[0]
         o = o_ref[0]
         lse = lse_ref[0][:, 0:1]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = _dot(q, k.T, hybrid) * scale
         if causal:
             rows = q_i * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 0)
@@ -155,11 +165,10 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                 jnp.int32, (bq, bkv), 1)
             s = jnp.where(cols <= rows, s, NEG_INF)
         p = jnp.exp(s - lse)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        dp = _dot(do, v.T, hybrid)
         delta = jnp.sum(do * o, axis=-1, keepdims=True)
         ds = p * (dp - delta)
-        dq_sc[:] += scale * jnp.dot(ds, k,
-                                    preferred_element_type=jnp.float32)
+        dq_sc[:] += scale * _dot(ds, k, hybrid)
 
     if causal:
         @pl.when(kv_i * bkv <= q_i * bq + bq - 1)
@@ -175,15 +184,18 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("bq", "bkv", "causal", "interpret",
-                                    "return_lse"))
+                                    "return_lse", "hybrid"))
 def flash_attention(q, k, v, bq: int = 256, bkv: int = 256,
                     causal: bool = False, interpret: bool = False,
-                    return_lse: bool = False):
+                    return_lse: bool = False, hybrid: bool = False):
     """q,k,v: [B, S, dh] (batch*heads flattened) -> [B, S, dh];
     causal=True masks future positions (LM training); interpret=True
     runs the kernel in the Pallas interpreter (CPU-testable);
     return_lse=True also returns the per-row log-sum-exp residual
-    [B, S, 128] (lane-broadcast) consumed by flash_attention_bwd"""
+    [B, S, 128] (lane-broadcast) consumed by flash_attention_bwd;
+    hybrid=True issues the attention dots with bf16 multiplicands and
+    f32 accumulation (the v8 GEMM treatment) — softmax statistics and
+    the output stay f32"""
     b, s, dh = q.shape
     bq = min(bq, s)
     bkv = min(bkv, s)
@@ -198,7 +210,8 @@ def flash_attention(q, k, v, bq: int = 256, bkv: int = 256,
             pl.BlockSpec((1, bq, 128), lambda bi, qi, ki: (bi, qi, 0)))
     r = pl.pallas_call(
         functools.partial(_flash_kernel, bq=bq, bkv=bkv, scale=scale,
-                          causal=causal, save_lse=return_lse),
+                          causal=causal, save_lse=return_lse,
+                          hybrid=hybrid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
@@ -226,10 +239,11 @@ def flash_attention(q, k, v, bq: int = 256, bkv: int = 256,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bq", "bkv", "causal", "interpret"))
+                   static_argnames=("bq", "bkv", "causal", "interpret",
+                                    "hybrid"))
 def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
                         bkv: int = 256, causal: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False, hybrid: bool = False):
     """flash backward: (dq, dk, dv) without materializing S x S in HBM.
     Two kernels — dK/dV with the KV block stationary and dQ with the Q
     block stationary — each recomputes its probability tile from the
@@ -244,7 +258,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
     lse_at = pl.BlockSpec((1, bq, 128), lambda bi, ki, qi: (bi, qi, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, bq=bq, bkv=bkv,
-                          scale=scale, causal=causal),
+                          scale=scale, causal=causal, hybrid=hybrid),
         grid=(b, s // bkv, s // bq),
         in_specs=[q_at, kv_at, kv_at, q_at, q_at, lse_at],
         out_specs=[
@@ -272,7 +286,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
     lse_at2 = pl.BlockSpec((1, bq, 128), lambda bi, qi, ki: (bi, qi, 0))
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, bq=bq, bkv=bkv,
-                          scale=scale, causal=causal),
+                          scale=scale, causal=causal, hybrid=hybrid),
         grid=(b, s // bq, s // bkv),
         in_specs=[q_at2, kv_at2, kv_at2, q_at2, q_at2, lse_at2],
         out_specs=pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),

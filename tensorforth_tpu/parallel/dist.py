@@ -1,4 +1,9 @@
-"""Multi-host scale-out groundwork.
+"""Multi-host scale-out.
+
+Exercised by a REAL 2-process cluster in tests/test_dist.py (localhost
+coordinator, Gloo collectives on the CPU backend, dp2 x tp4 global
+mesh): `nn.train` over `make_global_mesh` produces rank-identical
+losses/weights equal to the single-process 8-device run.
 
 The reference is strictly single-process (SURVEY.md §2.7); its dormant
 multi-VM scaffold maps here to multi-controller JAX: every host runs the
@@ -76,10 +81,21 @@ def make_global_mesh(dp: int | None = None, tp: int | None = None,
             f"hosts, {ax2} within)")
     assert dp % n_proc == 0, \
         f"dp={dp} must be a multiple of process_count={n_proc}"
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(dp // n_proc, m2),
-        dcn_mesh_shape=(n_proc, 1),
-        devices=jax.devices())
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(dp // n_proc, m2),
+            dcn_mesh_shape=(n_proc, 1),
+            devices=jax.devices())
+    except ValueError:
+        # devices without slice metadata (CPU backend, some TPU
+        # topologies): lay out process-major by hand — dp outermost
+        # crossing processes, the model axis within a process.  Found
+        # by the real 2-process test: create_hybrid_device_mesh counts
+        # slices from device attrs and sees 1 on CPU.
+        import numpy as np
+        devs = sorted(jax.devices(),
+                      key=lambda d: (d.process_index, d.id))
+        devices = np.array(devs).reshape(dp, m2)
     return Mesh(devices, ("dp", ax2))
 
 

@@ -177,3 +177,42 @@ def test_flash_backward_interpret_matches_autodiff(t4):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
                 err_msg=f"flash bwd {nm} (causal={causal})")
+
+
+def test_flash_hybrid_interpret_close_to_f32(t4):
+    """hybrid=True (bf16 multiplicands, f32 softmax/accumulate) must
+    stay within bf16 tolerance of the exact attention, forward and
+    backward (VERDICT r2 #8)"""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.nn.funcs import _sdpa_ref
+    from tensorforth_tpu.ops.attn_pallas import (flash_attention,
+                                                 flash_attention_bwd)
+
+    ks = jax.random.split(jax.random.PRNGKey(13), 4)
+    b, s, dh = 2, 512, 128
+    q = jax.random.normal(ks[0], (b, s, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, dh), jnp.float32)
+    do = jax.random.normal(ks[3], (b, s, dh), jnp.float32)
+
+    for causal in (False, True):
+        want = np.asarray(_sdpa_ref(q, k, v, causal))
+        o, lse = flash_attention(q, k, v, causal=causal, return_lse=True,
+                                 interpret=True, hybrid=True)
+        # attention outputs are softmax-convex combos of v (|v|~1):
+        # bf16 multiplicands give ~1e-2 abs agreement
+        np.testing.assert_allclose(np.asarray(o), want, atol=3e-2,
+                                   err_msg=f"hybrid fwd causal={causal}")
+        dq, dk, dv = flash_attention_bwd(q, k, v, o, lse, do,
+                                         causal=causal, interpret=True,
+                                         hybrid=True)
+        _, vjp = jax.vjp(lambda q_, k_, v_: _sdpa_ref(q_, k_, v_, causal),
+                         q, k, v)
+        wq, wk, wv = vjp(do)
+        for got, w, nm in ((dq, wq, "dq"), (dk, wk, "dk"), (dv, wv, "dv")):
+            err = np.max(np.abs(np.asarray(got) - np.asarray(w)))
+            scale = np.max(np.abs(np.asarray(w))) + 1e-9
+            assert err / scale < 0.05, \
+                f"hybrid bwd {nm} causal={causal}: rel err {err/scale:.3g}"

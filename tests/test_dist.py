@@ -73,3 +73,69 @@ def test_global_mesh_multi_host_layout(monkeypatch, t4):
 def test_local_batch_slice(t4):
     from tensorforth_tpu.parallel.dist import local_batch_slice
     assert local_batch_slice(64) == slice(0, 64)
+
+
+def test_two_process_train_matches_single(tmp_path):
+    """REAL 2-process cluster on the CPU backend (VERDICT r2 #7): two
+    workers form a dp2(x)tp4 global mesh via T4_COORD/T4_NPROC/T4_RANK
+    and jax.distributed.initialize; nn.train's engine runs the same
+    epochs as a single-process 8-device run; losses and final weights
+    must agree across ranks AND with the single-process run."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "dist_worker.py")
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def env_for(rank, nproc, local_devs):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("T4_MAX_BATCH", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                            f"{local_devs}")
+        env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+        env["T4_MESH"] = "dp2,tp4"
+        if nproc > 1:
+            env["T4_COORD"] = f"localhost:{port}"
+            env["T4_NPROC"] = str(nproc)
+            env["T4_RANK"] = str(rank)
+        else:
+            env.pop("T4_COORD", None)
+        return env
+
+    outs = [str(tmp_path / f"r{i}.json") for i in range(2)]
+    procs = [subprocess.Popen([sys.executable, worker, outs[i]],
+                              env=env_for(i, 2, 4),
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    logs = [p.communicate(timeout=420)[0].decode(errors="replace")
+            for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-2500:]}"
+
+    r0 = json.load(open(outs[0]))
+    r1 = json.load(open(outs[1]))
+    assert (r0["nproc"], r1["nproc"]) == (2, 2)
+    assert r0["loss"] == r1["loss"], "ranks disagree on loss"
+    assert r0["wsum"] == r1["wsum"], "ranks disagree on weights"
+
+    # single-process 8-device reference
+    ref_out = str(tmp_path / "ref.json")
+    p = subprocess.Popen([sys.executable, worker, ref_out],
+                         env=env_for(0, 1, 8),
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    log = p.communicate(timeout=420)[0].decode(errors="replace")
+    assert p.returncode == 0, f"reference run failed:\n{log[-2500:]}"
+    ref = json.load(open(ref_out))
+
+    np.testing.assert_allclose(r0["loss"], ref["loss"], rtol=1e-5)
+    np.testing.assert_allclose(r0["wsum"], ref["wsum"], rtol=1e-5)
