@@ -665,3 +665,74 @@ def hit_fn(out, hot):
 @partial(jax.jit, static_argnames=("classes",))
 def onehot_fn(labels, classes: int):
     return jax.nn.one_hot(labels, classes, dtype=jnp.float32)
+
+
+# ===========================================================================
+# macro-op fusion: the canonical word training cycle as ONE program
+# ===========================================================================
+@lru_cache(maxsize=64)
+def get_fused_cycle(program, train: bool, loss_op: str, opt: str,
+                    ndivs: tuple):
+    """`forward loss.X ... backprop nn.adam` compiled as ONE XLA
+    executable (macro-op fusion — VERDICT r2 #2; the reference analog
+    is the per-word kernel-launch train it replaces, forward.cu:29 /
+    backprop.cu:39 / gradient.cu:64).  The program returns EVERYTHING
+    the four separate word dispatches would have produced — per-layer
+    outputs/masks, onehot, hit, loss, input-grad chain, accumulated
+    dW/dB, and the post-step weights/moments/zeroed grads — so the
+    interpreter's observable state after each word is identical to the
+    unfused path; the words just apply slices of one stashed result
+    instead of dispatching.
+
+    opt: 'adam' | 'adamw' | 'sgd' | 'sgdm'; hyper = (lr, h1, h2, h3)
+    with (lr, b1, b2, wd) for adam/adamw and (lr, b, _, _) for sgd.
+    ndivs: the SGD dW/N quirk divisors (per trainable, w then b)."""
+
+    def cyc(x, params, dws, dbs, ms, vs, labels, key, lr, h1, h2, h3):
+        outs, masks = forward_pure(program, x, params, key)
+        out = outs[-1]
+        n = out.shape[0]
+        classes = out.size // n
+        hot = onehot_fn(labels, classes).reshape(n, 1, classes, 1)
+        hit = hit_fn(out, hot)
+        lval = loss_fn(loss_op, out, hot)
+        dout, dxs, ndws, ndbs = _bwd_body(program, train, hot, x, outs,
+                                          params, masks, dws, dbs)
+        # flat trainables in Model._trainables() order: (w, b) pairs
+        # per parameterized layer
+        fws, fdws = [], []
+        for j in range(len(program)):
+            if params[j]:
+                fws += [params[j][0], params[j][1]]
+                fdws += [ndws[j], ndbs[j]]
+        nws, nms, nvs, zdws = [], [], [], []
+        for i, (w, dw, m) in enumerate(zip(fws, fdws, ms)):
+            # ms/vs/dws arrive in the interpreter's rank-4 STORAGE
+            # shapes; compute in the weight's logical shape (reshape is
+            # free in jit; replace_data restores storage shape)
+            dg = dw.reshape(jnp.shape(w))
+            m = m.reshape(jnp.shape(w))
+            if opt in ("adam", "adamw"):
+                v = vs[i].reshape(jnp.shape(w))
+                m = h1 * m + (1.0 - h1) * dg
+                v = h2 * v + (1.0 - h2) * dg * dg
+                upd = m / (jnp.sqrt(v) + 1.0e-6)
+                if opt == "adamw":
+                    upd = upd + h3 * w
+                w = w - lr * upd
+                nvs.append(v)
+            else:
+                dg = dg / ndivs[i]
+                if opt == "sgdm":
+                    m = h1 * m + (1.0 - h1) * dg
+                    w = w - lr * m
+                else:
+                    m = dg
+                    w = w - lr * dg
+            nws.append(w)
+            nms.append(m)
+            zdws.append(jnp.zeros_like(dw))
+        return (outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
+                tuple(nws), tuple(nms), tuple(nvs), tuple(zdws))
+
+    return jax.jit(cyc)

@@ -65,6 +65,41 @@ class Model:
         self._hit = 0
         self._iter = 0
         self._opt_inited = False
+        # macro-op fusion (VERDICT r2 #2): after one canonical
+        # forward/loss/backprop/optimizer cycle, the next cycle runs as
+        # ONE fused device program; words apply slices of the stash
+        self._cycle: list = []                # verbs since last opt step
+        self._fuse_sig = None                 # last canonical cycle sig
+        self._pending = None                  # stashed fused outputs
+
+    # --- macro-op fusion bookkeeping -----------------------------------------
+    def fuse_break(self):
+        """any out-of-cycle mutation (nn.w=, nn.zero, onehot swap, ...)
+        invalidates the speculative optimizer/grad results; data already
+        applied by earlier words in the cycle stays (it was real)"""
+        self._pending = None
+        self._fuse_sig = None
+        if self._cycle and self._cycle[-1] != "dirty":
+            self._cycle.append("dirty")
+
+    def _note_opt(self, opt: str, hyper: tuple):
+        """optimizer step ends a cycle: record whether it was canonical
+        (fusable) and arm the next cycle"""
+        c = self._cycle
+        canonical = (len(c) >= 1 and c[0] == "fwd_ds"
+                     and c.count("fwd_ds") == 1
+                     and c.count("bwd") == 1 and "dirty" not in c
+                     and all(v in ("fwd_ds", "bwd") or v.startswith("loss:")
+                             for v in c)
+                     and c.index("bwd") > 0)
+        loss_ops = {v[5:] for v in c if v.startswith("loss:")}
+        if canonical and len(loss_ops) <= 1:
+            self._fuse_sig = (self._program(), bool(self.train),
+                              loss_ops.pop() if loss_ops else "ce",
+                              opt, hyper)
+        else:
+            self._fuse_sig = None
+        self._cycle = []
 
     # --- T4Base duck-type ---------------------------------------------------
     @property
@@ -451,13 +486,25 @@ class Model:
             key = _key0()
         hot = hit = None
         if inp.is_dataset():
-            fwd = funcs.get_forward_with_metrics(prog)
+            if self._pending is not None:
+                # previous cycle's speculative opt results were never
+                # consumed (e.g. an eval-only loop) — drop them and
+                # disarm so eval forwards stop paying the fused cost
+                self._pending = None
+                self._fuse_sig = None
             labels = jnp.asarray(inp.label[:n0.N()], dtype=jnp.int32)
-            outs, masks, hot, hit = fwd(n0.ensure_data(), self._params(),
-                                        key, labels)
+            fused = self._try_fused(prog, n0, labels, key)
+            if fused is not None:
+                outs, masks, hot, hit = fused
+            else:
+                fwd = funcs.get_forward_with_metrics(prog)
+                outs, masks, hot, hit = fwd(n0.ensure_data(),
+                                            self._params(), key, labels)
+            self._cycle.append("fwd_ds")
         else:
             fwd = funcs.get_forward(prog)
             outs, masks = fwd(n0.ensure_data(), self._params(), key)
+            self._cycle.append("dirty")       # non-dataset cycles unfused
         for i, (o, m) in enumerate(zip(outs, masks)):
             self[i + 1].replace_data(o)
             t_in = self[i]
@@ -484,6 +531,41 @@ class Model:
             self._trace_pass("forward", range(self.numel - 1))
         return self
 
+    def _try_fused(self, prog, n0, labels, key):
+        """speculatively run the whole canonical cycle as one program
+        when the previous cycle proved the pattern; returns the
+        (outs, masks, hot, hit) slice or None for the unfused path"""
+        sig = self._fuse_sig
+        if (sig is None or not self._opt_inited or not self.train
+                or sig[0] != prog or sig[1] != bool(self.train)):
+            return None
+        import os
+        if os.environ.get("T4_NO_FUSE", "0") == "1":
+            return None
+        _, _, loss_op, opt, hyper = sig
+        tr = self._trainables()
+        ms = [t.mtum[s].ensure_data() for t, s in tr]
+        if opt in ("adam", "adamw"):
+            if any(t.mtum[s + 2] is None for t, s in tr):
+                return None
+            vs = tuple(t.mtum[s + 2].ensure_data() for t, s in tr)
+        else:
+            vs = ()
+        dws, dbs = self._gather_grads()
+        fn = funcs.get_fused_cycle(prog, bool(self.train), loss_op, opt,
+                                   self._ndivs())
+        res = fn(n0.ensure_data(), self._params(), dws, dbs,
+                 tuple(ms), vs, labels, key, *(_jf32(h) for h in hyper))
+        (outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
+         nws, nms, nvs, zdws) = res
+        self._pending = {
+            "loss_op": loss_op, "opt": opt, "hyper": hyper,
+            "lval": lval, "dout": dout, "dxs": dxs,
+            "ndws": ndws, "ndbs": ndbs, "nws": nws, "nms": nms,
+            "nvs": nvs, "zdws": zdws, "bwd_done": False,
+        }
+        return outs, masks, hot, hit
+
     def _trace_pass(self, name: str, order):
         """per-layer trace (reference forward.cu:44-51/backprop.cu:41-47)"""
         from ..system import System
@@ -508,6 +590,7 @@ class Model:
     # backprop (reference backprop.cu)
     # =========================================================================
     def broadcast(self, tgt: Tensor) -> "Model":
+        self.fuse_break()                     # _hot swap mid-cycle
         out = self[-1]
         N, HWC = out.N(), out.HWC()
         if self._hot is None:
@@ -528,6 +611,19 @@ class Model:
                       f"!= {out.shape}")
             self.err = 1
             return self
+        p = self._pending
+        if p is not None and tgt is self._hot and not p["bwd_done"]:
+            # macro-op fusion: the fused cycle already computed the
+            # backward — apply its slice instead of dispatching
+            dout, dxs, ndws, ndbs = (p["dout"], p["dxs"],
+                                     p["ndws"], p["ndbs"])
+            p["bwd_done"] = True
+            self._cycle.append("bwd")
+            self._apply_bwd(dout, dxs, ndws, ndbs)
+            return self
+        if p is not None:                     # deviation: drop the stash
+            self._pending = None
+            self.fuse_break()
         prog = self._program()
         bwd = funcs.get_backward(prog, self[0].shape, bool(self.train))
         outs = tuple(self[i + 1].ensure_data() for i in range(self.numel - 1))
@@ -536,6 +632,11 @@ class Model:
         dout, dxs, ndws, ndbs = bwd(
             tgt.ensure_data(), self[0].ensure_data(), outs,
             self._params(), masks, dws, dbs)
+        self._cycle.append("bwd")
+        self._apply_bwd(dout, dxs, ndws, ndbs)
+        return self
+
+    def _apply_bwd(self, dout, dxs, ndws, ndbs):
         self[-1].replace_data(dout)
         for j in range(self.numel - 1):
             self[j].replace_data(dxs[j])
@@ -547,7 +648,6 @@ class Model:
         from ..system import System
         if System.get_sys().trace:
             self._trace_pass("backprop", range(self.numel - 2, -1, -1))
-        return self
 
     def _gather_masks(self):
         masks = []
@@ -611,6 +711,7 @@ class Model:
         self._opt_inited = True
 
     def grad_zero(self):
+        self.fuse_break()
         for t_in, slot in self._trainables():
             dg = t_in.grad[slot + 2]
             if dg is not None:
@@ -651,22 +752,63 @@ class Model:
             out.append(float(g.N() if g.rank == 4 else 1))
         return tuple(out)
 
+    def _try_fused_opt(self, opt: str, hyper: tuple) -> bool:
+        """apply the fused cycle's speculative optimizer results if the
+        actual call matches the prediction (same opt word, same
+        hyperparameters, backward already consumed)"""
+        p = self._pending
+        if (p is None or not p["bwd_done"] or p["opt"] != opt
+                or p["hyper"] != hyper):
+            return False
+        self._pending = None
+        self._iter += 1
+        adamlike = opt in ("adam", "adamw")
+        for i, (t, s) in enumerate(self._trainables()):
+            t.grad[s].replace_data(p["nws"][i])
+            t.grad[s + 2].replace_data(p["zdws"][i])
+            if adamlike:
+                t.mtum[s].replace_data(p["nms"][i])
+                t.mtum[s + 2].replace_data(p["nvs"][i])
+            elif t.mtum[s] is not t.grad[s]:
+                t.mtum[s].replace_data(p["nms"][i])
+        self._note_opt(opt, hyper)
+        return True
+
     def sgd(self, lr: float, b: float = 0.0) -> "Model":
         momentum = abs(b) > Config.DU_EPS
+        opt = "sgdm" if momentum else "sgd"
+        hyper = (float(lr), float(b), 0.0, 0.0)
+        if self._try_fused_opt(opt, hyper):
+            return self
+        self._pending = None
         op = Optimizer.SGDM if momentum else Optimizer.SGD
         fn = funcs.get_sgd(self._ndivs(), momentum)
-        return self._opt_apply(op, fn, _jf32(lr), _jf32(b))
+        r = self._opt_apply(op, fn, _jf32(lr), _jf32(b))
+        self._note_opt(opt, hyper)
+        return r
 
     def adam(self, lr: float, b1: float = 0.9, b2: float = 0.999) -> "Model":
+        hyper = (float(lr), float(b1), float(b2), 0.0)
+        if self._try_fused_opt("adam", hyper):
+            return self
+        self._pending = None
         fn = funcs.get_adam(False)
-        return self._opt_apply(Optimizer.ADAM, fn, _jf32(lr),
-                               _jf32(b1), _jf32(b2), _jf32(0.0))
+        r = self._opt_apply(Optimizer.ADAM, fn, _jf32(lr),
+                            _jf32(b1), _jf32(b2), _jf32(0.0))
+        self._note_opt("adam", hyper)
+        return r
 
     def adamw(self, lr: float, wd: float = 0.01, b1: float = 0.9,
               b2: float = 0.999) -> "Model":
+        hyper = (float(lr), float(b1), float(b2), float(wd))
+        if self._try_fused_opt("adamw", hyper):
+            return self
+        self._pending = None
         fn = funcs.get_adam(True)
-        return self._opt_apply(Optimizer.ADAMW, fn, _jf32(lr),
-                               _jf32(b1), _jf32(b2), _jf32(wd))
+        r = self._opt_apply(Optimizer.ADAMW, fn, _jf32(lr),
+                            _jf32(b1), _jf32(b2), _jf32(wd))
+        self._note_opt("adamw", hyper)
+        return r
 
     # =========================================================================
     # loss & metrics (reference loss.cpp)
@@ -679,6 +821,7 @@ class Model:
                 return self[-1]
             return self._hot
         out = self[-1]
+        self.fuse_break()                     # _hot swap mid-cycle
         if self._hot is not None:
             self._mmu.free_obj(self._hot)
         elif t.N() != out.N() or t.HWC() != out.HWC():
@@ -721,6 +864,10 @@ class Model:
             self._err("nn::loss shape mismatch")
             return 0.0
         name = Loss.NAMES[op].lower()
+        self._cycle.append("loss:" + name)
+        p = self._pending
+        if p is not None and tgt is self._hot and name == p["loss_op"]:
+            return p["lval"]                  # fused cycle's loss slice
         return funcs.loss_fn(name, out.ensure_data(), tgt.ensure_data())
 
     def loss(self, op: int, tgt: Tensor | None = None) -> float:

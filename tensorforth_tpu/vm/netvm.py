@@ -262,6 +262,7 @@ class NetVM(TensorVM):
                                   else mt.grad[4])
         if p is not None and t.numel == p.numel:
             if p is not t:
+                self.MNOS().fuse_break()      # direct weight write
                 p.replace_data(t.ensure_data().reshape(p.shape))
                 x = self.POP()
                 self.DROP_DU(x)
