@@ -69,44 +69,55 @@ def bench_gemm_at(size: int, reps: int = 5):
             return x
         return run
 
-    def timed(fn, tag):
+    def compiled(f, tag):
+        fn = chain(f)
         print(f"[bench] compiling {tag} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         float(fn(a, x0)[0, 0])                 # warm & compile & sync
         print(f"[bench] {tag} compiled+warm in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
               flush=True)
-        rates = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            r = fn(a, x0)
-            float(r[0, 0])                     # force real readback
-            dt = time.perf_counter() - t0
-            rates.append(n_iter * 2.0 * size ** 3 / dt / 1e9)
-        return rates
+        return fn
 
-    out = {}
-    out["xla"] = timed(
-        chain(lambda a, x: jnp.dot(
-            a, x, preferred_element_type=jnp.float32) * s),
-        f"xla {size}^3")
+    def t_once(fn):
+        t0 = time.perf_counter()
+        float(fn(a, x0)[0, 0])                 # force real readback
+        return time.perf_counter() - t0
+
+    fns = {"xla": compiled(
+        lambda a, x: jnp.dot(a, x, preferred_element_type=jnp.float32) * s,
+        f"xla {size}^3")}
     try:
-        out["hybrid"] = timed(
-            chain(lambda a, x: mm_pallas(a, x, 4, scale=float(1.0 / size))),
+        fns["hybrid"] = compiled(
+            lambda a, x: mm_pallas(a, x, 4, scale=float(1.0 / size)),
             f"pallas hybrid gemm4 {size}^3")
     except Exception as e:
         print(f"[bench] gemm4 @{size} failed: {e}", file=sys.stderr,
               flush=True)
-        out["hybrid"] = [0.0]
     if size == 1024:
         try:
-            out["f32_strict"] = timed(
-                chain(lambda a, x: mm_pallas(a, x, 3) * s),
+            fns["f32_strict"] = compiled(
+                lambda a, x: mm_pallas(a, x, 3) * s,
                 f"pallas f32-strict gemm3 {size}^3")
         except Exception as e:
             print(f"[bench] gemm3 @{size} failed: {e}", file=sys.stderr,
                   flush=True)
-            out["f32_strict"] = [0.0]
+    # INTERLEAVED reps: each rep times every variant back-to-back, so
+    # the hybrid/xla ratio is taken within one tunnel window — the
+    # shared-chip windows drift 2x between separately-timed blocks
+    out = {k: [] for k in fns}
+    out["hybrid_vs_xla_ratios"] = []
+    for _ in range(reps):
+        dts = {k: t_once(fn) for k, fn in fns.items()}
+        for k, dt in dts.items():
+            out[k].append(n_iter * 2.0 * size ** 3 / dt / 1e9)
+        if "hybrid" in dts:
+            out["hybrid_vs_xla_ratios"].append(dts["xla"] / dts["hybrid"])
+    if "hybrid" not in fns:
+        out["hybrid"] = [0.0]
+        out["hybrid_vs_xla_ratios"] = [0.0]
+    if size == 1024 and "f32_strict" not in fns:
+        out["f32_strict"] = [0.0]
     return out
 
 
@@ -285,35 +296,38 @@ def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
             return q
         return run
 
-    def timed(fn, tag):
+    def compiled(f, tag):
+        fn = chain(f)
         print(f"[bench] compiling attention {tag} ...", file=sys.stderr,
               flush=True)
         float(fn(q, k, v)[0, 0, 0])
-        rates = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(q, k, v)[0, 0, 0])
-            rates.append(flops / (time.perf_counter() - t0) / 1e12)
-        return rates
+        return fn
 
-    out = {}
+    fns = {}
     try:
-        out["hybrid"] = timed(
-            chain(lambda q, k, v: flash_attention(q, k, v, hybrid=True)),
+        fns["hybrid"] = compiled(
+            lambda q, k, v: flash_attention(q, k, v, hybrid=True),
             "pallas-flash hybrid")
     except Exception as e:
         print(f"[bench] hybrid flash failed: {e}", file=sys.stderr,
               flush=True)
-        out["hybrid"] = [0.0]
     try:
-        out["f32_strict"] = timed(
-            chain(lambda q, k, v: flash_attention(q, k, v)),
-            "pallas-flash f32")
+        fns["f32_strict"] = compiled(
+            lambda q, k, v: flash_attention(q, k, v), "pallas-flash f32")
     except Exception as e:
         print(f"[bench] f32 flash failed: {e}", file=sys.stderr,
               flush=True)
-        out["f32_strict"] = [0.0]
-    out["xla"] = timed(chain(xla_attn), "xla")
+    fns["xla"] = compiled(xla_attn, "xla")
+    # interleaved reps (same rationale as bench_gemm_at)
+    out = {k: [] for k in fns}
+    for _ in range(reps):
+        for k, fn in fns.items():
+            t0 = time.perf_counter()
+            float(fn(q, k, v)[0, 0, 0])
+            out[k].append(flops / (time.perf_counter() - t0) / 1e12)
+    for k in ("hybrid", "f32_strict"):
+        if k not in out:
+            out[k] = [0.0]
     return out
 
 
@@ -389,7 +403,11 @@ def main():
         details[f"gemm_xla_{size}_spread"] = xs
         details[f"gemm_hybrid_{size}_gflops_med"] = hm
         details[f"gemm_hybrid_{size}_spread"] = hs
-        details[f"gemm_hybrid_vs_xla_{size}"] = round(hm / max(xm, 1e-9), 4)
+        # median of per-rep interleaved ratios (NOT ratio of medians):
+        # each rep times xla and hybrid back-to-back in one window
+        rm, rs = _med_spread(g["hybrid_vs_xla_ratios"], 4)
+        details[f"gemm_hybrid_vs_xla_{size}"] = rm
+        details[f"gemm_hybrid_vs_xla_{size}_spread"] = rs
         if size == 1024:
             fm, fs = _med_spread(g["f32_strict"])
             details["gemm3_f32_strict_gflops_med"] = fm

@@ -50,32 +50,77 @@ class TensorForth:
             self.sys.tb = Summary(tb_logdir, tb_run_id)
         level = "net" if (Config.DO_OBJ and Config.DO_NN) else (
             "tensor" if Config.DO_OBJ else "forth")
-        self.vm = vm_factory(level, 0, self.sys)
-        self.vm.init()
+        # VM handle pool (reference ten4.cu:157-196): T4_VM_COUNT VMs
+        # sharing the dictionary/pmem/MMU, each with its own stacks.
+        # The per-VM CUDA stream analog is XLA's async dispatch queue
+        # plus a host thread per started task (vm/multitask.py) — pool
+        # VMs 1..N-1 start STOP and are claimed by the `task` word.
+        self.pool = [vm_factory(level, i, self.sys)
+                     for i in range(max(1, Config.VM_COUNT))]
+        self.vm = self.pool[0]
+        for vm in self.pool:
+            vm.init()                        # dict built once (id 0)
         self.vm.state = VMState.QUERY
+        from .vm.multitask import TaskPool
+        TaskPool.get().attach_pool(self.pool)   # replaces any stale pool
         if verbose > 1:                      # reference Debug::self_tests
             self.sys.db.dict_dump()
             self.sys.db.words()
             self.sys.db.mem_dump(0, 256)
 
+    def _run_pool(self):
+        """one dispatcher sweep (reference ten4.cu:188-196 run()): VM 0
+        consumes the input line; HOLD VMs resume; NEST VMs are busy on
+        their own thread ("stream") and are skipped; returns per-VM ms"""
+        import time as _t
+        dts = []
+        for vm in self.pool:
+            t0 = _t.perf_counter()
+            if (vm.state == VMState.HOLD
+                    and not getattr(vm, "task_claimed", False)):
+                vm.resume()
+            elif vm.state == VMState.QUERY:
+                vm.outer()
+            dts.append((_t.perf_counter() - t0) * 1e3)
+        return dts
+
+    def _tally(self):
+        """VM state census (reference _ten4_tally, ten4.cu:64-76)"""
+        cnt = [0, 0, 0, 0]
+        for vm in self.pool:
+            cnt[vm.state] += 1
+        return cnt
+
+    def more_job(self) -> bool:
+        """true while any VM is not STOP (reference ten4.cu:181-184)"""
+        return self._tally()[VMState.STOP] < len(self.pool)
+
     def run_line(self, line: str):
         self.sys.load_line(line)
-        self.vm.outer()
+        if len(self.pool) == 1:
+            self.vm.outer()
+        else:
+            self._run_pool()
         self.sys.flush()
         self.sys.mu.sweep()
 
     def main_loop(self):
-        """REPL: readline -> outer -> flush -> sweep (+ per-line profile
-        at trace, reference ten4.cu:199-220 per-VM event timing)"""
-        import time as _t
-        while self.vm.state != VMState.STOP:
+        """REPL: readline -> pool sweep -> flush -> sweep (+ per-line
+        profile at trace, reference ten4.cu:199-220 per-VM event timing)"""
+        while self.more_job():
             if not self.sys.readline():
                 break
-            t0 = _t.perf_counter()
-            self.vm.outer()
+            dts = self._run_pool()
             if self.sys.trace:
-                self.sys.pstr(
-                    f"\\ VM[{self.vm.id}] {(_t.perf_counter() - t0) * 1e3:.2f} ms\n")
+                if len(self.pool) > 1:       # reference profile() VM.dt
+                    cnt = self._tally()
+                    self.sys.pstr(
+                        "\\ VM.state[STOP,HOLD,QUERY,NEST]=[ "
+                        + " ".join(str(c) for c in cnt) + " ] dt=[ "
+                        + " ".join(f"{d:.2f}" for d in dts) + " ]\n")
+                else:
+                    self.sys.pstr(
+                        f"\\ VM[{self.vm.id}] {dts[0]:.2f} ms\n")
             self.sys.flush()
             self.sys.mu.sweep()
 

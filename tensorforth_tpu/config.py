@@ -13,6 +13,7 @@ class Config:
     DO_TB   = True
 
     # --- sizing (reference: ten4_config.h)
+    VM_COUNT = int(os.environ.get("T4_VM_COUNT", "1"))  # VM pool (T4_VM_COUNT)
     SS_SZ    = 64          # data stack depth        (T4_SS_SZ)
     RS_SZ    = 64          # return stack depth      (T4_RS_SZ)
     DICT_SZ  = 1024        # dictionary entries      (T4_DICT_SZ)

@@ -200,6 +200,8 @@ class Synthetic(Corpus):
     ANGLES = 5           # orientations over [0, pi)
     FREQS = (8.0, 4.0)   # wavelengths in px -> ANGLES*len(FREQS) classes
     NOISE = 64           # uniform per-pixel noise amplitude
+    AMP = 64.0           # grating amplitude
+    WL_JITTER = 0.0      # per-sample multiplicative frequency jitter
 
     def __init__(self, size: int, h: int, w: int, c: int, seed: int):
         super().__init__()
@@ -224,8 +226,14 @@ class Synthetic(Corpus):
         n_cls = self._fields.shape[0]
         lbl = ((idx * 7 + (idx // 10) * 3) % n_cls).astype(np.int64)
         phase = rng.rand(n, 1, 1) * 2.0 * np.pi
-        g = np.sin(self._fields[lbl] + phase)            # [n, h, w]
-        data = 128.0 + 64.0 * g[..., None] * np.ones(self.C)
+        fields = self._fields[lbl]
+        if self.WL_JITTER:
+            # per-sample frequency jitter blurs the class boundaries in
+            # frequency space (gate calibration, VERDICT r2 #9)
+            jit = 1.0 + self.WL_JITTER * (2.0 * rng.rand(n, 1, 1) - 1.0)
+            fields = fields * jit
+        g = np.sin(fields + phase)                       # [n, h, w]
+        data = 128.0 + self.AMP * g[..., None] * np.ones(self.C)
         data = data + rng.randint(0, self.NOISE,
                                   size=data.shape) - self.NOISE / 2
         return (np.clip(data, 0, 255).astype(np.uint8),

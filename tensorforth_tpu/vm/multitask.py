@@ -33,6 +33,7 @@ class TaskPool:
         self.tasks: dict[int, Task] = {}
         self.next_id = 1
         self.io_lock = threading.Lock()
+        self.vm_pool: list = []              # driver's VM handle pool
 
     @classmethod
     def get(cls) -> "TaskPool":
@@ -40,10 +41,31 @@ class TaskPool:
             cls._inst = TaskPool()
         return cls._inst
 
+    def attach_pool(self, pool: list):
+        """adopt the driver's VM handle pool (reference ten4.cu:157-165
+        vm_pool): `task` claims STOP pool VMs 1..N-1 before falling back
+        to detached VMs, so the driver's state tally reflects tasks"""
+        self.vm_pool = pool
+
+    def _claim_vm(self, parent_vm):
+        from .vm import VMState
+        for vm in self.vm_pool[1:]:
+            if vm.state == VMState.STOP and not any(
+                    t.vm is vm and not t.done.is_set()
+                    for t in self.tasks.values()):
+                vm.ss.clear()                # reset the recycled handle
+                vm.rs.clear()
+                vm.tos = np.float32(-1.0)
+                vm.compile = False
+                vm.state = VMState.HOLD      # claimed, not yet started
+                vm.task_claimed = True       # driver sweep must not
+                return vm                    # resume() an unstarted task
+        return type(parent_vm)(self.next_id & 0xF, parent_vm.sys)
+
     def create(self, parent_vm, pfa: int) -> int:
         tid = self.next_id
         self.next_id += 1
-        child = type(parent_vm)(tid & 0xF, parent_vm.sys)
+        child = self._claim_vm(parent_vm)
         t = Task(tid, child, pfa)
         self.tasks[tid] = t
         return tid
@@ -56,6 +78,8 @@ class TaskPool:
         def run():
             from .vm import VMState
             try:
+                t.vm.state = VMState.NEST
+                t.vm.task_claimed = False
                 t.vm.ip = 0
                 t.vm.rs.push(np.float32(0.0))
                 t.vm.ip = t.pfa
