@@ -199,9 +199,13 @@ class Synthetic(Corpus):
 
     ANGLES = 5           # orientations over [0, pi)
     FREQS = (8.0, 4.0)   # wavelengths in px -> ANGLES*len(FREQS) classes
-    NOISE = 64           # uniform per-pixel noise amplitude
-    AMP = 64.0           # grating amplitude
-    WL_JITTER = 0.0      # per-sample multiplicative frequency jitter
+    # difficulty calibrated so the reference t4_30e CNN topology lands
+    # ~99.5% test accuracy at 20 epochs (VERDICT r2 #9: a gate pinned
+    # at 100% cannot detect regressions; measured sweep r3 —
+    # (64, 64, 0.0) -> 1.000, (128, 40, 0.25) -> 0.9948 full-scale)
+    NOISE = 128          # uniform per-pixel noise amplitude
+    AMP = 40.0           # grating amplitude
+    WL_JITTER = 0.25     # per-sample multiplicative frequency jitter
 
     def __init__(self, size: int, h: int, w: int, c: int, seed: int):
         super().__init__()

@@ -268,7 +268,17 @@ def mm_pallas(a, b, variant: int = 3, scale: float = 1.0):
                 if v >= t:
                     return t
             return 128
-        if k == 2048 and m >= 1024 and 512 <= n <= 2048:
+        if k == 2048 and n == 2048 and m >= 512:
+            # B-RESIDENT full-N tile: all of B (8 MB bf16) stays in
+            # VMEM across the whole pass and is fetched from HBM once;
+            # A streams in 512-row slabs.  ~24 MB VMEM compiles fine on
+            # current Mosaic (the old ~16 MB cliff applied to
+            # double-buffered OUTPUT specs, not ANY-space manual DMA).
+            # Head-to-head vs the XLA dot at 2048^3, 15 interleaved
+            # reps: median ratio 1.022 (prior (1024,512,2048) tile:
+            # 0.971) — the one size that still trailed XLA in r2.
+            bm, bn, bk = 512, 2048, 2048
+        elif k == 2048 and m >= 1024 and 512 <= n <= 2048:
             # K-resident asymmetric tile: 12 MB double-buffered inputs
             # + 2 MB accumulator stays safely under the 16 MB VMEM
             # cliff; measured 156.2 TF/s vs 150.0 for 512x512 tiles
