@@ -7,9 +7,31 @@ first fetch (reference dataset.cu:64-121).
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from .tensor import Tensor, T4Type
+
+
+@lru_cache(maxsize=32)
+def _fetch_prog(batch: int, mean: float, scale: float, out_shape: tuple):
+    """ONE device program per (batch, normalize, shape) signature:
+    slice the device-resident U8 corpus, normalize, and slice the
+    labels — the word-path epoch loop previously issued ~5 EAGER
+    device ops per fetch (each a tunnel RPC), which dominated the
+    27-31 ms/batch word-epoch cost (r3 fusion measurements)"""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(buf, labels, pos):
+        d = jax.lax.dynamic_slice_in_dim(buf, pos, batch, 0)
+        x = ((d.astype(jnp.float32) - mean) * scale).reshape(out_shape)
+        lab = jax.lax.dynamic_slice_in_dim(labels, pos, batch, 0)
+        return x, lab
+
+    return f
 
 
 class Dataset(Tensor):
@@ -21,6 +43,8 @@ class Dataset(Tensor):
         self.dataset_size = 0
         self.done = False
         self.label = np.zeros(batch_sz, dtype=np.uint32)
+        self.label_dev = None              # device-resident labels (set
+        #                                    by the fused fetch program)
         self._mean = 0.0
         self._scale = 1.0 / 256.0
         self._corpus = None
@@ -75,20 +99,24 @@ class Dataset(Tensor):
         cp = self._corpus
         if getattr(cp, "_dev_cache", None) is None and hasattr(cp, "_read"):
             try:                                   # whole-corpus upload
-                full, _ = cp._read(0, cp.size)
+                full, full_lbl = cp._read(0, cp.size)
                 cp._dev_cache = jax.device_put(
                     jnp.asarray(full, dtype=jnp.uint8))
+                cp._dev_labels = jax.device_put(
+                    jnp.asarray(full_lbl, dtype=jnp.int32))
             except Exception:
                 cp._dev_cache = False
         if getattr(cp, "_dev_cache", None) is not None and \
                 cp._dev_cache is not False and n == self.batch_sz:
             pos = self._pos_of_batch()
-            d = jax.lax.dynamic_slice_in_dim(cp._dev_cache, pos,
-                                             self.batch_sz, 0)
-            self.replace_data(((d.astype(jnp.float32) - self._mean)
-                               * self._scale).reshape(self.shape))
+            fp = _fetch_prog(self.batch_sz, float(self._mean),
+                             float(self._scale), tuple(self.shape))
+            x, lab = fp(cp._dev_cache, cp._dev_labels, np.int32(pos))
+            self.replace_data(x)
             self.label = label.astype(np.uint32)
-            return
+            self.label_dev = lab               # device labels for the
+            return                             # forward/fused word path
+        self.label_dev = None                      # host path: no device labels
         d = (data.astype(np.float32) - self._mean) * self._scale
         if n < self.batch_sz:                      # partial tail batch
             pad = np.zeros((self.batch_sz - n,) + d.shape[1:], np.float32)

@@ -492,7 +492,12 @@ class Model:
                 # disarm so eval forwards stop paying the fused cost
                 self._pending = None
                 self._fuse_sig = None
-            labels = jnp.asarray(inp.label[:n0.N()], dtype=jnp.int32)
+            ld = getattr(inp, "label_dev", None)
+            if ld is not None and ld.shape[0] == n0.N():
+                labels = ld                  # device slice from the fused
+                #                              fetch program — no upload
+            else:
+                labels = jnp.asarray(inp.label[:n0.N()], dtype=jnp.int32)
             fused = self._try_fused(prog, n0, labels, key)
             if fused is not None:
                 outs, masks, hot, hit = fused
@@ -837,7 +842,11 @@ class Model:
         E = out.HWC()
         if self._hot is None:
             self._hot = self._T4(out.N(), 1, E, 1)
-        labels = jnp.asarray(dset.label[:out.N()], dtype=jnp.int32)
+        ld = getattr(dset, "label_dev", None)
+        if ld is not None and ld.shape[0] == out.N():
+            labels = ld                    # device slice — no upload
+        else:
+            labels = jnp.asarray(dset.label[:out.N()], dtype=jnp.int32)
         self._hot.replace_data(funcs.onehot_fn(labels, E))
         return self._hot
 
