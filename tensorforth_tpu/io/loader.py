@@ -25,6 +25,8 @@ class Corpus:
         self.size = 0
         self.eof = False
         self._pos = 0
+        self._lbl_cache = None   # host labels, set when the dataset
+        #                          builds its device-resident corpus
 
     def init(self):
         raise NotImplementedError
@@ -33,8 +35,17 @@ class Corpus:
         self._pos = 0
         self.eof = False
 
-    def fetch(self, batch_sz: int):
-        """returns (data[n,H,W,C] u8-ish, labels[n]) or (None, None) at eof"""
+    def fetch(self, batch_sz: int, meta_only: bool = False):
+        """returns (data[n,H,W,C] u8-ish, labels[n]) or (None, None) at eof
+
+        meta_only: the caller already holds the corpus on device (the
+        Dataset's whole-corpus cache) and only needs position
+        bookkeeping + host labels — skip the per-batch `_read`, which
+        for the synthetic corpus costs ~7 ms of numpy per batch and
+        dominated the word-path epoch loop (r3 profile).  Downgrades
+        to a full read on a partial tail batch or when no label cache
+        exists, so callers can rely on `data is None` <=> full batch
+        served from the device cache."""
         size = self.size
         max_b = int(os.environ.get("T4_MAX_BATCH", "0"))
         if max_b:                           # truncated-epoch fault injection
@@ -43,7 +54,10 @@ class Corpus:
             self.eof = True
             return None, None
         n = min(batch_sz, size - self._pos)
-        d, l = self._read(self._pos, n)
+        if meta_only and n == batch_sz and self._lbl_cache is not None:
+            d, l = None, self._lbl_cache[self._pos:self._pos + n]
+        else:
+            d, l = self._read(self._pos, n)
         self._pos += n
         self.eof = self._pos >= size
         return d, l

@@ -79,9 +79,11 @@ class Dataset(Tensor):
             cp.rewind()
             self.batch_id = -1
             self.done = False
-        data, label = cp.fetch(self.batch_sz)
+        dev_live = (getattr(cp, "_dev_cache", None) is not None
+                    and cp._dev_cache is not False)
+        data, label = cp.fetch(self.batch_sz, meta_only=dev_live)
         self.done = cp.eof
-        if data is not None:
+        if label is not None:
             self._load(data, label)
             self.batch_id += 1
         return self
@@ -89,13 +91,15 @@ class Dataset(Tensor):
     def rewind(self, trace: int = 0):
         return self.fetch(None, rewind=1, trace=trace)
 
-    def _load(self, data: np.ndarray, label: np.ndarray):
+    def _load(self, data: np.ndarray | None, label: np.ndarray):
         """stage batch on device: normalize (x-mean)*1/scale runs as a
         jitted device op over a device-resident U8 corpus cache, so the
-        per-batch H2D transfer happens once per corpus, not per epoch"""
+        per-batch H2D transfer happens once per corpus, not per epoch.
+        data is None when Corpus.fetch served a meta-only full batch
+        (device cache live — no host bytes were materialized at all)"""
         import jax
         import jax.numpy as jnp
-        n = data.shape[0]
+        n = self.batch_sz if data is None else data.shape[0]
         cp = self._corpus
         if getattr(cp, "_dev_cache", None) is None and hasattr(cp, "_read"):
             try:                                   # whole-corpus upload
@@ -104,6 +108,7 @@ class Dataset(Tensor):
                     jnp.asarray(full, dtype=jnp.uint8))
                 cp._dev_labels = jax.device_put(
                     jnp.asarray(full_lbl, dtype=jnp.int32))
+                cp._lbl_cache = np.asarray(full_lbl)   # meta-only fetches
             except Exception:
                 cp._dev_cache = False
         if getattr(cp, "_dev_cache", None) is not None and \
