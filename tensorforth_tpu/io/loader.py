@@ -225,6 +225,8 @@ class Synthetic(Corpus):
         super().__init__()
         self.size, self.H, self.W, self.C = size, h, w, c
         self._seed = seed
+        self._data = None        # memmap-backed materialized corpus
+        self._lbl = None
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
         ang = np.pi * np.arange(self.ANGLES) / self.ANGLES
         # per-class projection field (h, w) — phase added per sample
@@ -232,30 +234,107 @@ class Synthetic(Corpus):
             2.0 * np.pi / wl * (np.cos(a) * xx + np.sin(a) * yy)
             for a in ang for wl in self.FREQS])
 
+    def _u01(self, idx: np.ndarray, salt: int) -> np.ndarray:
+        """splitmix64-style counter hash -> U[0,1) float64.
+
+        The corpus must be a PURE function of (seed, sample index): the
+        r3 plateau bug came from seeding a sequential RandomState at
+        `seed + pos`, which made a sample's jitter/noise depend on the
+        READ WINDOW — `nn.train`'s staging (`_read(0, n)`), the
+        device-resident cache (`_read(0, size)`) and per-batch host
+        reads (`_read(pos, b)`) all served different pixels for the
+        same sample, so training and eval silently used different data.
+        Counter-based hashing keys every draw on the absolute sample
+        (or pixel) index, making all windows byte-identical."""
+        return (self._hash(idx, salt) >> np.uint64(11)) \
+            .astype(np.float64) / float(1 << 53)
+
+    def _hash(self, idx: np.ndarray, salt: int) -> np.ndarray:
+        off = np.uint64((self._seed * 0xD1B54A32D192ED03
+                         + salt * 0x8CB92BA72F3D8DD7) & 0xFFFFFFFFFFFFFFFF)
+        x = idx.astype(np.uint64) + off
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
     def available(self) -> bool:
         return True
 
     def init(self):
         pass
 
-    def _read(self, pos: int, n: int):
+    def _gen(self, pos: int, n: int):
+        """generate samples [pos, pos+n) — pure in the sample index"""
         idx = np.arange(pos, pos + n)
-        rng = np.random.RandomState(self._seed + pos)
         n_cls = self._fields.shape[0]
         lbl = ((idx * 7 + (idx // 10) * 3) % n_cls).astype(np.int64)
-        phase = rng.rand(n, 1, 1) * 2.0 * np.pi
+        phase = (self._u01(idx, 0) * 2.0 * np.pi)[:, None, None]
         fields = self._fields[lbl]
         if self.WL_JITTER:
             # per-sample frequency jitter blurs the class boundaries in
             # frequency space (gate calibration, VERDICT r2 #9)
-            jit = 1.0 + self.WL_JITTER * (2.0 * rng.rand(n, 1, 1) - 1.0)
+            jit = (1.0 + self.WL_JITTER
+                   * (2.0 * self._u01(idx, 1) - 1.0))[:, None, None]
             fields = fields * jit
-        g = np.sin(fields + phase)                       # [n, h, w]
-        data = 128.0 + self.AMP * g[..., None] * np.ones(self.C)
-        data = data + rng.randint(0, self.NOISE,
-                                  size=data.shape) - self.NOISE / 2
+        g = np.sin(fields + phase).astype(np.float32)    # [n, h, w]
+        data = 128.0 + np.float32(self.AMP) * g[..., None] \
+            * np.ones(self.C, np.float32)
+        # per-pixel noise keyed on the absolute pixel index (integer
+        # bits straight off the hash)
+        hwc = self.H * self.W * self.C
+        pix = (idx[:, None] * np.int64(hwc)
+               + np.arange(hwc, dtype=np.int64)[None, :]).ravel()
+        noise = ((self._hash(pix, 2) >> np.uint64(11))
+                 % np.uint64(self.NOISE)) \
+            .astype(np.float32).reshape(data.shape)
+        data = data + noise - np.float32(self.NOISE / 2)
         return (np.clip(data, 0, 255).astype(np.uint8),
                 lbl.astype(np.uint8))
+
+    def _materialize(self):
+        """one-time on-disk materialization (memmap-backed).
+
+        The corpus is a pure function of (seed, geometry, difficulty
+        params), so the cache is valid machine-wide and shared by every
+        process; generating 60k 28x28 gratings costs ~30 s of numpy on
+        a small host, which the test suite and bench would otherwise
+        pay once PER PROCESS for the whole-corpus device cache.
+        Generation is chunked to bound memory; writes go to a tmp file
+        renamed into place so concurrent builders (the 2-process dist
+        test) race benignly."""
+        if self._data is not None:
+            return
+        import hashlib
+        import tempfile
+        key = repr((self.size, self.H, self.W, self.C, self._seed,
+                    self.ANGLES, self.FREQS, self.NOISE, self.AMP,
+                    self.WL_JITTER, "v3"))
+        tag = hashlib.sha1(key.encode()).hexdigest()[:16]
+        root = os.path.join(tempfile.gettempdir(), "t4_synth")
+        os.makedirs(root, exist_ok=True)
+        dpath = os.path.join(root, f"{tag}_d.npy")
+        lpath = os.path.join(root, f"{tag}_l.npy")
+        if not (os.path.exists(dpath) and os.path.exists(lpath)):
+            pid = os.getpid()
+            dtmp, ltmp = f"{dpath}.{pid}", f"{lpath}.{pid}"
+            dm = np.lib.format.open_memmap(
+                dtmp, mode="w+", dtype=np.uint8,
+                shape=(self.size, self.H, self.W, self.C))
+            lm = np.lib.format.open_memmap(
+                ltmp, mode="w+", dtype=np.uint8, shape=(self.size,))
+            for s in range(0, self.size, 8192):
+                e = min(self.size, s + 8192)
+                dm[s:e], lm[s:e] = self._gen(s, e - s)
+            dm.flush(), lm.flush()
+            del dm, lm
+            os.replace(dtmp, dpath)
+            os.replace(ltmp, lpath)
+        self._data = np.load(dpath, mmap_mode="r")
+        self._lbl = np.load(lpath, mmap_mode="r")
+
+    def _read(self, pos: int, n: int):
+        self._materialize()
+        return self._data[pos:pos + n], self._lbl[pos:pos + n]
 
 
 class Loader:
