@@ -318,16 +318,17 @@ def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
         print(f"[bench] f32 flash failed: {e}", file=sys.stderr,
               flush=True)
     fns["xla"] = compiled(xla_attn, "xla")
-    # interleaved reps (same rationale as bench_gemm_at)
-    out = {k: [] for k in fns}
+    # interleaved reps (same rationale as bench_gemm_at); NB do not
+    # shadow the k tensor with the dict key
+    out = {name: [] for name in fns}
     for _ in range(reps):
-        for k, fn in fns.items():
+        for name, fn in fns.items():
             t0 = time.perf_counter()
             float(fn(q, k, v)[0, 0, 0])
-            out[k].append(flops / (time.perf_counter() - t0) / 1e12)
-    for k in ("hybrid", "f32_strict"):
-        if k not in out:
-            out[k] = [0.0]
+            out[name].append(flops / (time.perf_counter() - t0) / 1e12)
+    for name in ("hybrid", "f32_strict"):
+        if name not in out:
+            out[name] = [0.0]
     return out
 
 
@@ -434,6 +435,12 @@ def main():
     details["word_epoch_ms_per_batch100_med"] = m
     details["word_epoch_ms_per_batch100_spread"] = s
     details["word_epoch_samples_per_sec_med"] = round(100e3 / m, 0)
+    # VERDICT r2 item 2 criterion: fused word-path per-batch cost vs the
+    # nn.train scan-epoch per-batch cost (same 100-sample batches).
+    scan_sps = details.get("mnist_cnn_epoch_mode_samples_per_sec_med", 0)
+    if scan_sps:
+        details["word_vs_scan_epoch_ratio"] = round(
+            m / (100e3 / scan_sps), 2)
 
     try:
         lm = bench_serving()

@@ -24,11 +24,18 @@ import numpy as np
 
 
 class Future:
-    """0-d device scalar pending host materialization"""
-    __slots__ = ("data", "oid")
+    """0-d device scalar pending host materialization.
 
-    def __init__(self, data):
+    When ``pending`` is set (a list of addends, each a jax 0-d array or
+    a host number) the future is a LAZY SUM: ``+!`` accumulation (the
+    per-batch `nn.hit hit +!` counter) costs ZERO device dispatches per
+    batch — the whole chain collapses into one stacked device sum on
+    first real use (typically the end-of-epoch `hit @ .`)."""
+    __slots__ = ("data", "oid", "pending")
+
+    def __init__(self, data, pending=None):
         self.data = data          # jax 0-d array, np scalar, or python num
+        self.pending = pending    # lazy-sum addend list (data is None)
         self.oid = 0
 
     # --- T4Base duck-type -------------------------------------------------
@@ -49,9 +56,29 @@ class Future:
         return True
 
     # --- resolution ---------------------------------------------------------
+    def dev(self):
+        """device-side value: collapses a lazy sum (one stacked device
+        reduction for ALL accumulated addends) without reading back"""
+        if self.pending is not None:
+            host = 0.0
+            devs = []
+            for a in self.pending:
+                if isinstance(a, (int, float, np.floating, np.integer)):
+                    host += float(a)
+                else:
+                    devs.append(a)
+            if devs:
+                import jax.numpy as jnp
+                d = devs[0] if len(devs) == 1 else jnp.sum(jnp.stack(devs))
+                self.data = d + np.float32(host) if host else d
+            else:
+                self.data = np.float32(host)
+            self.pending = None
+        return self.data
+
     def value(self) -> float:
         """synchronize: device -> host float32"""
-        return float(np.float32(float(self.data)))
+        return float(np.float32(float(self.dev())))
 
     def __repr__(self):
         return f"Future(oid={self.oid})"

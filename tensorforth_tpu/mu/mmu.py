@@ -155,10 +155,11 @@ class MMU:
         self.register(d)
         return d
 
-    def future(self, data):
-        """deferred device scalar (mu/future.py) — resolves on host use"""
+    def future(self, data, pending=None):
+        """deferred device scalar (mu/future.py) — resolves on host use;
+        pending=list makes it a zero-dispatch lazy sum (`+!` chains)"""
         from .future import Future
-        f = Future(data)
+        f = Future(data, pending)
         self.register(f)
         return f
 

@@ -28,7 +28,11 @@ NEG_INF = -1.0e30
 def _dot(a, b, hybrid: bool):
     """MXU dot: hybrid casts multiplicands to bf16 (the v8 GEMM
     treatment — bf16 inputs, f32 accumulate; VERDICT r2 #8) while the
-    softmax statistics and accumulators stay f32."""
+    softmax statistics and accumulators stay f32.  NB the Q/K/V/dO
+    streams are cast OUTSIDE the kernel (half the HBM block bytes; the
+    r3 GEMM sweeps showed in-kernel conversion LOSES) — the astype here
+    is then a no-op for them and only converts the in-kernel f32
+    products (softmax probabilities, ds)."""
     if hybrid:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
@@ -201,6 +205,13 @@ def flash_attention(q, k, v, bq: int = 256, bkv: int = 256,
     bkv = min(bkv, s)
     assert s % bq == 0 and s % bkv == 0, "seq not divisible by block"
     scale = 1.0 / math.sqrt(dh)
+    if hybrid:
+        # cast OUTSIDE the kernel: blocks stream at half bandwidth and
+        # the QK^T / PV dots take bf16 operands with no in-kernel
+        # conversion cost (softmax stats + accumulator stay f32)
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
     grid = (b, s // bq, s // bkv)
     out_shape = [jax.ShapeDtypeStruct((b, s, dh), jnp.float32)]
     out_specs = [pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0))]
@@ -252,6 +263,13 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
     bq = min(bq, s)
     bkv = min(bkv, s)
     scale = 1.0 / math.sqrt(dh)
+    if hybrid:
+        # outside-the-kernel casts (see flash_attention); o stays f32 —
+        # delta = Σ do·o feeds every ds and wants full precision
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+        do = do.astype(jnp.bfloat16)
 
     q_at = pl.BlockSpec((1, bq, dh), lambda bi, ki, qi: (bi, qi, 0))
     kv_at = pl.BlockSpec((1, bkv, dh), lambda bi, ki, qi: (bi, ki, 0))

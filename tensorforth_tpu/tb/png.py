@@ -16,7 +16,11 @@ def raw2png(px: np.ndarray) -> bytes:
     """px: [H, W, 3] uint8 -> PNG bytes"""
     h, w, c = px.shape
     assert c == 3
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    # one prefixed filter byte (0 = None) per scanline, built in one
+    # numpy op instead of a per-row Python join
+    rows = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    rows[:, 1:] = np.ascontiguousarray(px).reshape(h, w * 3)
+    raw = rows.tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)

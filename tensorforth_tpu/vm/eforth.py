@@ -640,11 +640,19 @@ class ForthVM(VM):
             addend = vm.POP()
             fc, fa = vm.future_of(cell), vm.future_of(addend)
             if fc is not None or fa is not None:
-                # keep the accumulation ON DEVICE — `nn.hit hit +!` style
-                # epoch counters never block the training pipeline
-                a = fc.data if fc is not None else float(cell)
-                b = fa.data if fa is not None else float(addend)
-                nf = vm.mmu.future(a + b)
+                # keep the accumulation ON DEVICE and LAZY — `nn.hit
+                # hit +!` epoch counters cost zero dispatches per batch
+                # (the addend chain collapses into one stacked device
+                # sum on first host read)
+                parts = []
+                for du, f in ((cell, fc), (addend, fa)):
+                    if f is None:
+                        parts.append(float(du))
+                    elif f.pending is not None:
+                        parts.extend(f.pending)
+                    else:
+                        parts.append(f.data)
+                nf = vm.mmu.future(None, pending=parts)
                 vm.pmem.wr_du(i, vm.mmu.obj2du(nf))
                 for old in (cell, addend):
                     if vm.future_of(old) is not None and not IS_VIEW(old):

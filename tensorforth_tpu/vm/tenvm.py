@@ -124,7 +124,7 @@ class TensorVM(ForthVM):
         if fo is not None:
             # unary math on a deferred scalar stays on device (async)
             from ..ops import engine
-            r = engine.sc_op1(_MAP_NAME.get(op), fo.data)
+            r = engine.sc_op1(_MAP_NAME.get(op), fo.dev())
             old = self.POP()
             self.DROP_DU(old)
             if r is None:                      # host-only op: materialize
@@ -217,8 +217,8 @@ class TensorVM(ForthVM):
                 self._materialize(fn, "nos")
             return self.xop2(op, x)
         r = engine.sc_op2(_BIN_NAME.get(op),
-                          fn.data if fn is not None else float(self.ss[-1]),
-                          ft.data if ft is not None else float(self.tos))
+                          fn.dev() if fn is not None else float(self.ss[-1]),
+                          ft.dev() if ft is not None else float(self.tos))
         if r is None:                           # host-only op
             if ft is not None:
                 self._materialize(ft, "tos")
