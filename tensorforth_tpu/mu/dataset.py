@@ -48,6 +48,7 @@ class Dataset(Tensor):
         self._mean = 0.0
         self._scale = 1.0 / 256.0
         self._corpus = None
+        self._fetch_spec = None            # deferred (corpus, pos) batch
 
     def normalize(self, mean: float, scale: float):
         self._mean = float(mean)
@@ -91,6 +92,19 @@ class Dataset(Tensor):
     def rewind(self, trace: int = 0):
         return self.fetch(None, rewind=1, trace=trace)
 
+    def ensure_data(self):
+        """materialize a deferred batch (unfused consumers: eval-only
+        forwards, printing, host readbacks)"""
+        if self.data is None and self._fetch_spec is not None:
+            cp = self._corpus
+            fp = _fetch_prog(self.batch_sz, float(self._mean),
+                             float(self._scale), tuple(self.shape))
+            x, lab = fp(cp._dev_cache, cp._dev_labels, self._fetch_spec)
+            self._fetch_spec = None
+            self.replace_data(x)
+            self.label_dev = lab
+        return super().ensure_data()
+
     def _load(self, data: np.ndarray | None, label: np.ndarray):
         """stage batch on device: normalize (x-mean)*1/scale runs as a
         jitted device op over a device-resident U8 corpus cache, so the
@@ -99,6 +113,7 @@ class Dataset(Tensor):
         (device cache live — no host bytes were materialized at all)"""
         import jax
         import jax.numpy as jnp
+        self._fetch_spec = None            # drop any unconsumed defer
         n = self.batch_sz if data is None else data.shape[0]
         cp = self._corpus
         if getattr(cp, "_dev_cache", None) is None and hasattr(cp, "_read"):
@@ -114,6 +129,17 @@ class Dataset(Tensor):
         if getattr(cp, "_dev_cache", None) is not None and \
                 cp._dev_cache is not False and n == self.batch_sz:
             pos = self._pos_of_batch()
+            if self._arena() is None:
+                # DEFER the device slice: record only the corpus offset.
+                # The fetch-folded fused cycle (funcs.get_fused_cycle_ds)
+                # slices + normalizes inside the one training program —
+                # zero separate fetch dispatch; any other consumer
+                # materializes lazily via ensure_data()
+                self._fetch_spec = np.int32(pos)
+                self.data = None
+                self.label = label.astype(np.uint32)
+                self.label_dev = None
+                return
             fp = _fetch_prog(self.batch_sz, float(self._mean),
                              float(self._scale), tuple(self.shape))
             x, lab = fp(cp._dev_cache, cp._dev_labels, np.int32(pos))

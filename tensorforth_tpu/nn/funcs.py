@@ -689,50 +689,82 @@ def get_fused_cycle(program, train: bool, loss_op: str, opt: str,
     ndivs: the SGD dW/N quirk divisors (per trainable, w then b)."""
 
     def cyc(x, params, dws, dbs, ms, vs, labels, key, lr, h1, h2, h3):
-        outs, masks = forward_pure(program, x, params, key)
-        out = outs[-1]
-        n = out.shape[0]
-        classes = out.size // n
-        hot = onehot_fn(labels, classes).reshape(n, 1, classes, 1)
-        hit = hit_fn(out, hot)
-        lval = loss_fn(loss_op, out, hot)
-        dout, dxs, ndws, ndbs = _bwd_body(program, train, hot, x, outs,
-                                          params, masks, dws, dbs)
-        # flat trainables in Model._trainables() order: (w, b) pairs
-        # per parameterized layer
-        fws, fdws = [], []
-        for j in range(len(program)):
-            if params[j]:
-                fws += [params[j][0], params[j][1]]
-                fdws += [ndws[j], ndbs[j]]
-        nws, nms, nvs, zdws = [], [], [], []
-        for i, (w, dw, m) in enumerate(zip(fws, fdws, ms)):
-            # ms/vs/dws arrive in the interpreter's rank-4 STORAGE
-            # shapes; compute in the weight's logical shape (reshape is
-            # free in jit; replace_data restores storage shape)
-            dg = dw.reshape(jnp.shape(w))
-            m = m.reshape(jnp.shape(w))
-            if opt in ("adam", "adamw"):
-                v = vs[i].reshape(jnp.shape(w))
-                m = h1 * m + (1.0 - h1) * dg
-                v = h2 * v + (1.0 - h2) * dg * dg
-                upd = m / (jnp.sqrt(v) + 1.0e-6)
-                if opt == "adamw":
-                    upd = upd + h3 * w
-                w = w - lr * upd
-                nvs.append(v)
-            else:
-                dg = dg / ndivs[i]
-                if opt == "sgdm":
-                    m = h1 * m + (1.0 - h1) * dg
-                    w = w - lr * m
-                else:
-                    m = dg
-                    w = w - lr * dg
-            nws.append(w)
-            nms.append(m)
-            zdws.append(jnp.zeros_like(dw))
-        return (outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
-                tuple(nws), tuple(nms), tuple(nvs), tuple(zdws))
+        return _fused_cycle_body(program, train, loss_op, opt, ndivs,
+                                 x, params, dws, dbs, ms, vs, labels,
+                                 key, lr, h1, h2, h3)
 
     return jax.jit(cyc)
+
+
+@lru_cache(maxsize=64)
+def get_fused_cycle_ds(program, train: bool, loss_op: str, opt: str,
+                       ndivs: tuple, batch: int, mean: float,
+                       scale: float, in_shape: tuple):
+    """fetch-FOLDED fused cycle: the batch slice + normalize from the
+    device-resident U8 corpus (mu/dataset._fetch_prog) runs INSIDE the
+    one cycle executable, so the canonical word training loop costs a
+    single device dispatch per batch (fetch + forward + loss + metrics
+    + backward + optimizer).  Returns the sliced input activation and
+    device labels first so the interpreter's dataset/input state stays
+    identical to the unfused path."""
+
+    def cyc(buf, all_labels, pos, params, dws, dbs, ms, vs, key,
+            lr, h1, h2, h3):
+        d = jax.lax.dynamic_slice_in_dim(buf, pos, batch, 0)
+        x = ((d.astype(jnp.float32) - mean) * scale).reshape(in_shape)
+        labels = jax.lax.dynamic_slice_in_dim(all_labels, pos, batch, 0)
+        return (x, labels) + _fused_cycle_body(
+            program, train, loss_op, opt, ndivs, x, params, dws, dbs,
+            ms, vs, labels, key, lr, h1, h2, h3)
+
+    return jax.jit(cyc)
+
+
+def _fused_cycle_body(program, train, loss_op, opt, ndivs,
+                      x, params, dws, dbs, ms, vs, labels, key,
+                      lr, h1, h2, h3):
+    outs, masks = forward_pure(program, x, params, key)
+    out = outs[-1]
+    n = out.shape[0]
+    classes = out.size // n
+    hot = onehot_fn(labels, classes).reshape(n, 1, classes, 1)
+    hit = hit_fn(out, hot)
+    lval = loss_fn(loss_op, out, hot)
+    dout, dxs, ndws, ndbs = _bwd_body(program, train, hot, x, outs,
+                                      params, masks, dws, dbs)
+    # flat trainables in Model._trainables() order: (w, b) pairs
+    # per parameterized layer
+    fws, fdws = [], []
+    for j in range(len(program)):
+        if params[j]:
+            fws += [params[j][0], params[j][1]]
+            fdws += [ndws[j], ndbs[j]]
+    nws, nms, nvs, zdws = [], [], [], []
+    for i, (w, dw, m) in enumerate(zip(fws, fdws, ms)):
+        # ms/vs/dws arrive in the interpreter's rank-4 STORAGE
+        # shapes; compute in the weight's logical shape (reshape is
+        # free in jit; replace_data restores storage shape)
+        dg = dw.reshape(jnp.shape(w))
+        m = m.reshape(jnp.shape(w))
+        if opt in ("adam", "adamw"):
+            v = vs[i].reshape(jnp.shape(w))
+            m = h1 * m + (1.0 - h1) * dg
+            v = h2 * v + (1.0 - h2) * dg * dg
+            upd = m / (jnp.sqrt(v) + 1.0e-6)
+            if opt == "adamw":
+                upd = upd + h3 * w
+            w = w - lr * upd
+            nvs.append(v)
+        else:
+            dg = dg / ndivs[i]
+            if opt == "sgdm":
+                m = h1 * m + (1.0 - h1) * dg
+                w = w - lr * m
+            else:
+                m = dg
+                w = w - lr * dg
+        nws.append(w)
+        nms.append(m)
+        zdws.append(jnp.zeros_like(dw))
+    return (outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
+            tuple(nws), tuple(nms), tuple(nvs), tuple(zdws))

@@ -476,7 +476,6 @@ class Model:
                       f"model input {n0.shape}")
             self.err = 1
             return self
-        n0.replace_data(inp.data_as(*n0.shape))
         prog = self._program()
         # only dropout consumes the key — skip the per-batch device op
         # (and keep the word path deterministic) when none is present
@@ -492,21 +491,41 @@ class Model:
                 # disarm so eval forwards stop paying the fused cost
                 self._pending = None
                 self._fuse_sig = None
-            ld = getattr(inp, "label_dev", None)
-            if ld is not None and ld.shape[0] == n0.N():
-                labels = ld                  # device slice from the fused
-                #                              fetch program — no upload
-            else:
-                labels = jnp.asarray(inp.label[:n0.N()], dtype=jnp.int32)
-            fused = self._try_fused(prog, n0, labels, key)
-            if fused is not None:
-                outs, masks, hot, hit = fused
-            else:
-                fwd = funcs.get_forward_with_metrics(prog)
-                outs, masks, hot, hit = fwd(n0.ensure_data(),
-                                            self._params(), key, labels)
+            fused = None
+            spec = getattr(inp, "_fetch_spec", None)
+            if spec is not None and inp.data is None:
+                # fetch-FOLDED cycle: the batch is still only a (corpus,
+                # pos) spec — slice+normalize runs inside the one fused
+                # program (zero separate fetch dispatch)
+                r = self._try_fused_ds(prog, inp, key, spec)
+                if r is not None:
+                    x0, lab, outs, masks, hot, hit = r
+                    inp._fetch_spec = None
+                    inp.replace_data(x0)
+                    inp.label_dev = lab
+                    # same array when shapes match — no extra dispatch
+                    n0.replace_data(inp.data_as(*n0.shape))
+                    fused = True
+            if fused is None:
+                n0.replace_data(inp.data_as(*n0.shape))
+                ld = getattr(inp, "label_dev", None)
+                if ld is not None and ld.shape[0] == n0.N():
+                    labels = ld              # device slice from the fused
+                    #                          fetch program — no upload
+                else:
+                    labels = jnp.asarray(inp.label[:n0.N()],
+                                         dtype=jnp.int32)
+                fused = self._try_fused(prog, n0, labels, key)
+                if fused is not None:
+                    outs, masks, hot, hit = fused
+                else:
+                    fwd = funcs.get_forward_with_metrics(prog)
+                    outs, masks, hot, hit = fwd(n0.ensure_data(),
+                                                self._params(), key,
+                                                labels)
             self._cycle.append("fwd_ds")
         else:
+            n0.replace_data(inp.data_as(*n0.shape))
             fwd = funcs.get_forward(prog)
             outs, masks = fwd(n0.ensure_data(), self._params(), key)
             self._cycle.append("dirty")       # non-dataset cycles unfused
@@ -570,6 +589,51 @@ class Model:
             "nvs": nvs, "zdws": zdws, "bwd_done": False,
         }
         return outs, masks, hot, hit
+
+    def _try_fused_ds(self, prog, inp, key, pos):
+        """fetch-FOLDED fused cycle: like _try_fused but the batch
+        slice + normalize from the device-resident U8 corpus runs
+        inside the one program (funcs.get_fused_cycle_ds) — the
+        canonical word loop costs ONE device dispatch per batch.
+        Returns (x, labels, outs, masks, hot, hit) or None."""
+        sig = self._fuse_sig
+        if (sig is None or not self._opt_inited or not self.train
+                or sig[0] != prog or sig[1] != bool(self.train)):
+            return None
+        import os
+        if os.environ.get("T4_NO_FUSE", "0") == "1":
+            return None
+        cp = getattr(inp, "_corpus", None)
+        if cp is None or getattr(cp, "_dev_cache", None) is None \
+                or cp._dev_cache is False:
+            return None
+        _, _, loss_op, opt, hyper = sig
+        tr = self._trainables()
+        ms = [t.mtum[s].ensure_data() for t, s in tr]
+        if opt in ("adam", "adamw"):
+            if any(t.mtum[s + 2] is None for t, s in tr):
+                return None
+            vs = tuple(t.mtum[s + 2].ensure_data() for t, s in tr)
+        else:
+            vs = ()
+        dws, dbs = self._gather_grads()
+        fn = funcs.get_fused_cycle_ds(
+            prog, bool(self.train), loss_op, opt, self._ndivs(),
+            inp.batch_sz, float(inp._mean), float(inp._scale),
+            tuple(self[0].shape))          # model-input shape, not the
+        #                                    dataset's (equal numel)
+        res = fn(cp._dev_cache, cp._dev_labels, pos, self._params(),
+                 dws, dbs, tuple(ms), vs, key,
+                 *(_jf32(h) for h in hyper))
+        (x0, lab, outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
+         nws, nms, nvs, zdws) = res
+        self._pending = {
+            "loss_op": loss_op, "opt": opt, "hyper": hyper,
+            "lval": lval, "dout": dout, "dxs": dxs,
+            "ndws": ndws, "ndbs": ndbs, "nws": nws, "nms": nms,
+            "nvs": nvs, "zdws": zdws, "bwd_done": False,
+        }
+        return x0, lab, outs, masks, hot, hit
 
     def _trace_pass(self, name: str, order):
         """per-layer trace (reference forward.cu:44-51/backprop.cu:41-47)"""

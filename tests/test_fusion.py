@@ -80,7 +80,8 @@ def test_fused_cycle_matches_unfused_word_loop(t4, monkeypatch):
     # fusion must actually have engaged on model B
     assert mb._fuse_sig is not None
     from tensorforth_tpu.nn import funcs
-    assert funcs.get_fused_cycle.cache_info().currsize >= 1, \
+    assert (funcs.get_fused_cycle.cache_info().currsize
+            + funcs.get_fused_cycle_ds.cache_info().currsize) >= 1, \
         "fused program never built - fusion did not engage"
 
     assert ha == hb, f"hit counts differ: {ha} vs {hb}"
