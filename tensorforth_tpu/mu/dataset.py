@@ -65,6 +65,11 @@ class Dataset(Tensor):
                 return self
             self._corpus = cp
             cp.init()
+            cp.rewind()        # a NEW binding starts at record 0 — the
+            #                    registry corpus is process-shared and
+            #                    may sit at another dataset's EOF
+            #                    (reference: each dataset loads its own
+            #                    corpus from the top, ld/loader.cpp)
             self.shape = (self.batch_sz, cp.H, cp.W, cp.C)   # re-dimension
             self.rank = 4
             self.data = None

@@ -182,3 +182,53 @@ me de ep drop""")
     loss = float(parts[1])
     assert 0 <= hits <= 48          # 3 batches x 16
     assert 0.0 < loss < 50.0
+
+
+def test_lazy_sum_chain_collapses_once(t4):
+    """r3: +! builds a pending-addend list (zero dispatches per
+    accumulation); the chain must collapse to the exact sum on first
+    host read, including host-number addends and further arithmetic"""
+    t4.forth("""variable acc 0 acc !
+1 2 3 4 matrix{ 1 2 3 4 5 6 7 8 } constant lt""")
+    t4.forth("lt sum acc +!")               # device future: 36
+    t4.forth("lt sum acc +!")               # 72
+    t4.forth("5 acc +!")                    # host addend: 77
+    t4.forth("lt sum acc +!")               # 113
+    from tensorforth_tpu.mu.mmu import MMU
+    futs = [o for o in MMU.get_mmu()._objs.values()
+            if getattr(o, "is_future", lambda: False)()]
+    assert any(f.pending is not None for f in futs), \
+        "accumulator should still be an uncollapsed lazy sum"
+    v = float(t4.forth("acc @ .").strip().split()[0])
+    assert v == 113.0
+    # arithmetic on the collapsed value keeps working
+    v2 = float(t4.forth("acc @ 7 + .").strip().split()[0])
+    assert v2 == 120.0
+
+
+def test_deferred_fetch_materializes_for_unfused_reads(t4, monkeypatch):
+    """r3 fetch folding: with a device-resident corpus the fetch is a
+    (corpus, pos) spec; reading the dataset tensor itself (sum) must
+    materialize the SAME normalized batch the eager path produced"""
+    monkeypatch.setenv("T4_MAX_BATCH", "3")
+    t4.forth("""8 28 28 1 nn.model flatten 10 linear softmax constant dfm
+dfm batchsize dataset mnist_train constant dfd""")
+    t4.forth("dfd rewind drop")             # process-wide corpus cache
+    t4.forth("dfm dfd forward drop")        # fetch + forward
+    from tensorforth_tpu.mu.mmu import MMU
+    ds = [o for o in MMU.get_mmu()._objs.values()
+          if getattr(o, "is_dataset", lambda: False)()][-1]
+    import numpy as np
+    a = np.asarray(ds.ensure_data())        # materialize (spec or data)
+    assert a.shape == (8, 28, 28, 1)
+    assert np.any(a != 0.0)
+    # eager re-fetch of the same position through the fetch program
+    from tensorforth_tpu.mu.dataset import _fetch_prog
+    cp = ds._corpus
+    pos = ds._pos_of_batch()
+    fp = _fetch_prog(ds.batch_sz, float(ds._mean), float(ds._scale),
+                     tuple(ds.shape))
+    x, lab = fp(cp._dev_cache, cp._dev_labels, np.int32(pos))
+    np.testing.assert_array_equal(a, np.asarray(x))
+    np.testing.assert_array_equal(ds.label,
+                                  np.asarray(lab).astype(np.uint32))
