@@ -214,12 +214,17 @@ class Synthetic(Corpus):
     ANGLES = 5           # orientations over [0, pi)
     FREQS = (8.0, 4.0)   # wavelengths in px -> ANGLES*len(FREQS) classes
     # difficulty calibrated so the reference t4_30e CNN topology lands
-    # ~99.5% test accuracy at 20 epochs (VERDICT r2 #9: a gate pinned
-    # at 100% cannot detect regressions; measured sweep r3 —
-    # (64, 64, 0.0) -> 1.000, (128, 40, 0.25) -> 0.9948 full-scale)
+    # in (0.98, 1.0) EXCLUSIVE at 20 epochs across random inits
+    # (VERDICT r2 #9: a gate pinned at 100% cannot detect regressions,
+    # and one that straddles 0.98 fails the >=98% criterion on unlucky
+    # seeds).  Measured sweep r3, 3 seeds each, full-scale TPU runs:
+    #   (NOISE, WL_JITTER) = (128, 0.25) -> 0.9675..0.9978  TOO HARD
+    #                        (112, 0.25) -> 0.9893..0.9998  marginal
+    #                        (128, 0.15) -> 0.9968..0.9991  SHIPPED
+    #                        ( 96, 0.20) -> 0.9993..0.9994  near ceiling
     NOISE = 128          # uniform per-pixel noise amplitude
     AMP = 40.0           # grating amplitude
-    WL_JITTER = 0.25     # per-sample multiplicative frequency jitter
+    WL_JITTER = 0.15     # per-sample multiplicative frequency jitter
 
     def __init__(self, size: int, h: int, w: int, c: int, seed: int):
         super().__init__()

@@ -99,8 +99,13 @@ class Dataset(Tensor):
 
     def ensure_data(self):
         """materialize a deferred batch (unfused consumers: eval-only
-        forwards, printing, host readbacks)"""
-        if self.data is None and self._fetch_spec is not None:
+        forwards, printing, host readbacks).  A set _fetch_spec is
+        ALWAYS newer than .data (_load clears it before serving), so it
+        wins — e.g. after a trace-chunk rollback re-materialized the
+        previous batch while the next batch's spec was already staged"""
+        if self._fetch_spec is not None and self._corpus is not None \
+                and getattr(self._corpus, "_dev_cache", None) is not None \
+                and self._corpus._dev_cache is not False:
             cp = self._corpus
             fp = _fetch_prog(self.batch_sz, float(self._mean),
                              float(self._scale), tuple(self.shape))

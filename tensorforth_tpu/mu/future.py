@@ -23,6 +23,41 @@ from __future__ import annotations
 import numpy as np
 
 
+class LazyIdx:
+    """deferred element `vec[i]` of a device vector — the chunked word
+    cycle (funcs.get_fused_chunk_ds) returns per-batch loss/hit scalars
+    as K-vectors; serving each batch as a LazyIdx costs ZERO device
+    dispatches (no per-batch gather on the tunnel).  Resolution happens
+    inside Future.dev(): a lazy SUM of LazyIdx addends over the same
+    vector collapses into one `take(...).sum()` dispatch (or `vec.sum()`
+    when the indices cover the whole vector)."""
+    __slots__ = ("vec", "i")
+
+    def __init__(self, vec, i: int):
+        self.vec = vec
+        self.i = int(i)
+
+
+def _collapse_lazy(host: float, devs: list, lazies: list):
+    """one device expression for (host + sum(devs) + sum(vec[i]...))"""
+    import jax.numpy as jnp
+    groups: dict = {}
+    for a in lazies:
+        groups.setdefault(id(a.vec), (a.vec, []))[1].append(a.i)
+    for vec, idxs in groups.values():
+        if len(idxs) == int(vec.shape[0]) and sorted(idxs) == list(
+                range(int(vec.shape[0]))):
+            devs.append(jnp.sum(vec))
+        elif len(idxs) == 1:
+            devs.append(vec[idxs[0]])
+        else:
+            devs.append(jnp.sum(jnp.take(vec, jnp.asarray(idxs))))
+    if devs:
+        d = devs[0] if len(devs) == 1 else jnp.sum(jnp.stack(devs))
+        return d + np.float32(host) if host else d
+    return np.float32(host)
+
+
 class Future:
     """0-d device scalar pending host materialization.
 
@@ -61,19 +96,18 @@ class Future:
         reduction for ALL accumulated addends) without reading back"""
         if self.pending is not None:
             host = 0.0
-            devs = []
+            devs, lazies = [], []
             for a in self.pending:
                 if isinstance(a, (int, float, np.floating, np.integer)):
                     host += float(a)
+                elif isinstance(a, LazyIdx):
+                    lazies.append(a)
                 else:
                     devs.append(a)
-            if devs:
-                import jax.numpy as jnp
-                d = devs[0] if len(devs) == 1 else jnp.sum(jnp.stack(devs))
-                self.data = d + np.float32(host) if host else d
-            else:
-                self.data = np.float32(host)
+            self.data = _collapse_lazy(host, devs, lazies)
             self.pending = None
+        elif isinstance(self.data, LazyIdx):
+            self.data = self.data.vec[self.data.i]
         return self.data
 
     def value(self) -> float:

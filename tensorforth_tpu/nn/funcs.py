@@ -720,6 +720,97 @@ def get_fused_cycle_ds(program, train: bool, loss_op: str, opt: str,
     return jax.jit(cyc)
 
 
+def _scatter_params(program, params, flat):
+    """flat post-step trainables (Model._trainables() order: (w, b) per
+    parameterized layer) back into the program-indexed params pytree"""
+    out, i = [], 0
+    for j in range(len(program)):
+        if params[j]:
+            out.append((flat[2 * i], flat[2 * i + 1]))
+            i += 1
+        else:
+            out.append(params[j])
+    return tuple(out)
+
+
+def _scatter_zeroed_grads(program, params, dws, dbs, zflat):
+    """zeroed accumulators for parameterized layers; non-parameterized
+    placeholder slots pass through untouched"""
+    ndws, ndbs, i = [], [], 0
+    for j in range(len(program)):
+        if params[j]:
+            ndws.append(zflat[2 * i])
+            ndbs.append(zflat[2 * i + 1])
+            i += 1
+        else:
+            ndws.append(dws[j])
+            ndbs.append(dbs[j])
+    return tuple(ndws), tuple(ndbs)
+
+
+@lru_cache(maxsize=64)
+def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
+                       ndivs: tuple, batch: int, mean: float,
+                       scale: float, in_shape: tuple, k_batches: int):
+    """trace-chunked execution: K consecutive canonical word cycles
+    (fetch + forward + loss + metrics + backward + optimizer) as ONE
+    device program — `lax.scan` over the fused cycle body, batch i at
+    corpus offset pos0 + i*batch.  The word loop then costs one device
+    dispatch per K batches instead of per batch (the ~3 ms tunnel
+    dispatch floor amortizes across the chunk).
+
+    Returns (lvals[K], hits[K], last) where lvals/hits are the
+    per-batch loss / hit-count scalars (served to the words as
+    lazily-indexed futures, mu/future.LazyIdx) and `last` is the full
+    per-word stash of the FINAL batch, identical in structure to
+    get_fused_cycle_ds's return — the interpreter's tensors materialize
+    the final batch's state exactly as per-batch execution would.
+    Intermediate batches' tensor states are not materialized; any
+    introspection mid-chunk triggers rollback-replay in
+    Model._chunk_abort (correctness over speed on the rare path).
+
+    The reference has no analog — its words launch kernels one at a
+    time (src/nn/forward.cu:29, backprop.cu:39); on a tunneled
+    accelerator amortizing the dispatch is what keeps the interactive
+    word loop near the scanned nn.train epoch cost."""
+
+    def chunk(buf, all_labels, pos0, params, dws, dbs, ms, vs, key,
+              lr, h1, h2, h3):
+        def one(pos, params_i, dws_i, dbs_i, ms_i, vs_i):
+            d = jax.lax.dynamic_slice_in_dim(buf, pos, batch, 0)
+            x = ((d.astype(jnp.float32) - mean) * scale).reshape(in_shape)
+            labels = jax.lax.dynamic_slice_in_dim(all_labels, pos,
+                                                  batch, 0)
+            return (x, labels) + _fused_cycle_body(
+                program, train, loss_op, opt, ndivs, x, params_i,
+                dws_i, dbs_i, ms_i, vs_i, labels, key, lr, h1, h2, h3)
+
+        # stash tuple indices: x=0 labels=1 outs=2 masks=3 hot=4 hit=5
+        # lval=6 dout=7 dxs=8 ndws=9 ndbs=10 nws=11 nms=12 nvs=13 zdws=14
+        st0 = one(pos0, params, dws, dbs, ms, vs)
+        if k_batches == 1:
+            one_l = jnp.reshape(st0[6], (1,))
+            one_h = jnp.reshape(st0[5], (1,))
+            return one_l, one_h, st0
+
+        def body(carry, i):
+            st = carry
+            params_i = _scatter_params(program, params, st[11])
+            dws_i, dbs_i = _scatter_zeroed_grads(program, params,
+                                                 dws, dbs, st[14])
+            st2 = one(pos0 + i * batch, params_i, dws_i, dbs_i,
+                      st[12], st[13])
+            return st2, (st2[6], st2[5])
+
+        last, (ls, hs) = jax.lax.scan(body, st0,
+                                      jnp.arange(1, k_batches))
+        lvals = jnp.concatenate([jnp.reshape(st0[6], (1,)), ls])
+        hits = jnp.concatenate([jnp.reshape(st0[5], (1,)), hs])
+        return lvals, hits, last
+
+    return jax.jit(chunk)
+
+
 def _fused_cycle_body(program, train, loss_op, opt, ndivs,
                       x, params, dws, dbs, ms, vs, labels, key,
                       lr, h1, h2, h3):

@@ -71,16 +71,29 @@ class Model:
         self._cycle: list = []                # verbs since last opt step
         self._fuse_sig = None                 # last canonical cycle sig
         self._pending = None                  # stashed fused outputs
+        self._chunk = None                    # trace-chunk state (K-batch
+        #                                       fused dispatch, see
+        #                                       funcs.get_fused_chunk_ds)
+        self._fuse_hits = 0                   # consecutive CONSUMED fused
+        #                                       cycles (chunking arms at 1)
 
     # --- macro-op fusion bookkeeping -----------------------------------------
     def fuse_break(self):
         """any out-of-cycle mutation (nn.w=, nn.zero, onehot swap, ...)
         invalidates the speculative optimizer/grad results; data already
         applied by earlier words in the cycle stays (it was real)"""
+        self._chunk_abort()
         self._pending = None
         self._fuse_sig = None
+        self._fuse_hits = 0
         if self._cycle and self._cycle[-1] != "dirty":
             self._cycle.append("dirty")
+
+    def chunk_sync(self):
+        """materialize exact per-batch tensor state before out-of-cycle
+        introspection (nn.w / nn.dw / n@ / network / persistence) —
+        rollback-replay of any active trace chunk; no-op otherwise"""
+        self._chunk_abort()
 
     def _note_opt(self, opt: str, hyper: tuple):
         """optimizer step ends a cycle: record whether it was canonical
@@ -485,15 +498,24 @@ class Model:
             key = _key0()
         hot = hit = None
         if inp.is_dataset():
+            spec = getattr(inp, "_fetch_spec", None)
+            if self._chunk is not None and self._chunk_fwd(inp, spec,
+                                                           prog):
+                self._cycle.append("fwd_ds")
+                return self
             if self._pending is not None:
                 # previous cycle's speculative opt results were never
                 # consumed (e.g. an eval-only loop) — drop them and
                 # disarm so eval forwards stop paying the fused cost
                 self._pending = None
                 self._fuse_sig = None
+                self._fuse_hits = 0
             fused = None
-            spec = getattr(inp, "_fetch_spec", None)
             if spec is not None and inp.data is None:
+                if self._maybe_chunk_dispatch(prog, inp, key, spec):
+                    inp._fetch_spec = None
+                    self._cycle.append("fwd_ds")
+                    return self
                 # fetch-FOLDED cycle: the batch is still only a (corpus,
                 # pos) spec — slice+normalize runs inside the one fused
                 # program (zero separate fetch dispatch)
@@ -525,10 +547,20 @@ class Model:
                                                 labels)
             self._cycle.append("fwd_ds")
         else:
+            self._chunk_abort()               # weights must be current
             n0.replace_data(inp.data_as(*n0.shape))
             fwd = funcs.get_forward(prog)
             outs, masks = fwd(n0.ensure_data(), self._params(), key)
             self._cycle.append("dirty")       # non-dataset cycles unfused
+        self._apply_fwd_stash(outs, masks,
+                              hot if inp.is_dataset() else None, hit)
+        if sys.trace:
+            self._trace_pass("forward", range(self.numel - 1))
+        return self
+
+    def _apply_fwd_stash(self, outs, masks, hot=None, hit=None):
+        """materialize a forward stash into the layer tensors (shared by
+        the per-batch paths and the trace-chunk final-batch apply)"""
         for i, (o, m) in enumerate(zip(outs, masks)):
             self[i + 1].replace_data(o)
             t_in = self[i]
@@ -545,15 +577,12 @@ class Model:
                                      jnp.zeros(2 * C, jnp.float32)]))
             elif t_in.grad[4] is not None:
                 t_in.grad[4].replace_data(m)
-        if inp.is_dataset():
+        if hot is not None:
             if self._hot is None:
                 out = self[-1]
                 self._hot = self._T4(out.N(), 1, out.HWC(), 1)
             self._hot.replace_data(hot)
             self._hit = hit                   # device scalar, lazy sync
-        if sys.trace:
-            self._trace_pass("forward", range(self.numel - 1))
-        return self
 
     def _try_fused(self, prog, n0, labels, key):
         """speculatively run the whole canonical cycle as one program
@@ -635,6 +664,201 @@ class Model:
         }
         return x0, lab, outs, masks, hot, hit
 
+    # =========================================================================
+    # trace-chunked execution: K canonical cycles per device dispatch
+    # (funcs.get_fused_chunk_ds).  The single-batch fused cycle still
+    # pays one ~3 ms tunnel dispatch per batch; once the canonical
+    # pattern has been observed AND consumed (one fused cycle), the
+    # next forward dispatches a K-batch scan and the words serve from
+    # per-batch loss/hit vectors (LazyIdx futures — zero dispatches).
+    # Tensor state materializes for the FINAL batch of each chunk; any
+    # out-of-cycle introspection rolls back and replays per-batch
+    # (chunk_sync), so observable semantics match unfused execution.
+    # =========================================================================
+    def _chunk_plan(self, inp, pos: int) -> int:
+        """chunk length: full batches left in the (possibly
+        T4_MAX_BATCH-truncated) corpus window, capped at T4_CHUNK"""
+        import os
+        try:
+            kmax = int(os.environ.get("T4_CHUNK", "16"))
+        except ValueError:
+            kmax = 16
+        if kmax <= 1:
+            return 0
+        cp = getattr(inp, "_corpus", None)
+        if cp is None:
+            return 0
+        b = inp.batch_sz
+        size = cp.size
+        max_b = int(os.environ.get("T4_MAX_BATCH", "0") or 0)
+        if max_b:                     # mirror Corpus.fetch windowing
+            size = min(size, max_b * b)
+        return min(kmax, max(0, (size - int(pos)) // b))
+
+    def _maybe_chunk_dispatch(self, prog, inp, key, pos) -> bool:
+        import os
+        from ..system import System
+        sig = self._fuse_sig
+        if (sig is None or not self._opt_inited or not self.train
+                or sig[0] != prog or sig[1] != bool(self.train)
+                or self._fuse_hits < 1
+                or os.environ.get("T4_NO_FUSE", "0") == "1"
+                or System.get_sys().trace
+                or any(k == Layer.DROPOUT for k, _o, _s in prog)):
+            return False
+        cp = getattr(inp, "_corpus", None)
+        if cp is None or getattr(cp, "_dev_cache", None) is None \
+                or cp._dev_cache is False:
+            return False
+        k_batches = self._chunk_plan(inp, pos)
+        if k_batches < 2:
+            return False
+        _, _, loss_op, opt, hyper = sig
+        tr = self._trainables()
+        ms = tuple(t.mtum[s].ensure_data() for t, s in tr)
+        if opt in ("adam", "adamw"):
+            if any(t.mtum[s + 2] is None for t, s in tr):
+                return False
+            vs = tuple(t.mtum[s + 2].ensure_data() for t, s in tr)
+        else:
+            vs = ()
+        dws, dbs = self._gather_grads()
+        params = self._params()
+        fn = funcs.get_fused_chunk_ds(
+            prog, bool(self.train), loss_op, opt, self._ndivs(),
+            inp.batch_sz, float(inp._mean), float(inp._scale),
+            tuple(self[0].shape), k_batches)
+        lvals, hits, last = fn(cp._dev_cache, cp._dev_labels,
+                               np.int32(pos), params, dws, dbs, ms, vs,
+                               key, *(_jf32(h) for h in hyper))
+        self._chunk = {
+            "ds": inp, "pos0": int(pos), "batch": inp.batch_sz,
+            "k": k_batches, "j": 0, "stage": "idle",
+            "lvals": lvals, "hits": hits, "last": last,
+            "loss_op": loss_op, "opt": opt, "hyper": hyper,
+            "args": (params, dws, dbs, ms, vs), "key": key,
+        }
+        self._serve_chunk_cycle()
+        return True
+
+    def _chunk_fwd(self, inp, spec, prog) -> bool:
+        """serve the next cycle's forward from the active chunk; any
+        mismatch (unexpected dataset/position, incomplete previous
+        cycle, topology/train-flag change) rolls back first"""
+        ck = self._chunk
+        sig = self._fuse_sig
+        expected = ck["pos0"] + ck["j"] * ck["batch"]
+        if not (inp is ck["ds"] and spec is not None
+                and int(spec) == expected and ck["stage"] == "idle"
+                and ck["j"] < ck["k"] and sig is not None
+                and sig[0] == prog and sig[1] == bool(self.train)):
+            self._chunk_abort()
+            return False
+        inp._fetch_spec = None
+        self._serve_chunk_cycle()
+        return True
+
+    def _serve_chunk_cycle(self):
+        ck = self._chunk
+        j = ck["j"]
+        if j == ck["k"] - 1:
+            self._chunk_apply_last()   # final batch: full stash, normal
+            return                     # serving machinery takes over
+        from ..mu.future import LazyIdx
+        self._hit = LazyIdx(ck["hits"], j)
+        self._pending = {
+            "loss_op": ck["loss_op"], "opt": ck["opt"],
+            "hyper": ck["hyper"], "lval": LazyIdx(ck["lvals"], j),
+            "bwd_done": False, "chunk": True,
+        }
+        ck["stage"] = "fwd"
+
+    def _chunk_apply_last(self):
+        ck, self._chunk = self._chunk, None
+        (x0, lab, outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
+         nws, nms, nvs, zdws) = ck["last"]
+        inp, n0 = ck["ds"], self[0]
+        inp.replace_data(x0)
+        inp.label_dev = lab
+        n0.replace_data(inp.data_as(*n0.shape))
+        self._pending = {
+            "loss_op": ck["loss_op"], "opt": ck["opt"],
+            "hyper": ck["hyper"], "lval": lval, "dout": dout,
+            "dxs": dxs, "ndws": ndws, "ndbs": ndbs, "nws": nws,
+            "nms": nms, "nvs": nvs, "zdws": zdws, "bwd_done": False,
+        }
+        self._apply_fwd_stash(outs, masks, hot, hit)
+
+    def _chunk_abort(self):
+        """rollback-replay: re-run the already-served cycles through the
+        single-batch fused program from the pre-chunk state so tensors
+        (weights, moments, grads, activations) materialize exactly as
+        per-batch execution would have left them.  Rare path — only
+        out-of-cycle introspection or a broken loop pattern lands here;
+        loss/hit futures already handed out keep their chunk-computed
+        values (same math, scan-order float association)."""
+        ck, self._chunk = self._chunk, None
+        if ck is None:
+            return
+        self._fuse_hits = 0
+        j, stage = ck["j"], ck["stage"]
+        if j == 0 and stage == "idle":
+            return                    # nothing served — pure discard
+        prog = self._program()
+        params, dws, dbs, ms, vs = ck["args"]
+        inp, b, pos0 = ck["ds"], ck["batch"], ck["pos0"]
+        cp = inp._corpus
+        fn = funcs.get_fused_cycle_ds(
+            prog, bool(self.train), ck["loss_op"], ck["opt"],
+            self._ndivs(), b, float(inp._mean), float(inp._scale),
+            tuple(self[0].shape))
+        hy = tuple(_jf32(h) for h in ck["hyper"])
+        zflat = None
+        for i in range(j):            # replay the COMPLETE cycles
+            res = fn(cp._dev_cache, cp._dev_labels,
+                     np.int32(pos0 + i * b), params, dws, dbs, ms, vs,
+                     ck["key"], *hy)
+            nws, nms, nvs, zflat = res[11], res[12], res[13], res[14]
+            params = funcs._scatter_params(prog, params, nws)
+            dws, dbs = funcs._scatter_zeroed_grads(prog, params, dws,
+                                                   dbs, zflat)
+            ms, vs = tuple(nms), tuple(nvs)
+        if j:                         # apply the threaded end state
+            tr = self._trainables()
+            flat_w = [w for pair in params if pair for w in pair]
+            adamlike = ck["opt"] in ("adam", "adamw")
+            for i, (t, s) in enumerate(tr):
+                t.grad[s].replace_data(flat_w[i])
+                t.grad[s + 2].replace_data(zflat[i])
+                if adamlike:
+                    t.mtum[s].replace_data(ms[i])
+                    t.mtum[s + 2].replace_data(vs[i])
+                elif t.mtum[s] is not t.grad[s]:
+                    t.mtum[s].replace_data(ms[i])
+        if stage == "idle":
+            self._pending = None
+            return
+        # partial cycle: regenerate its stash at the correct state so
+        # the remaining words of the current cycle serve normally
+        res = fn(cp._dev_cache, cp._dev_labels, np.int32(pos0 + j * b),
+                 params, dws, dbs, ms, vs, ck["key"], *hy)
+        (x0, lab, outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
+         nws, nms, nvs, zdws) = res
+        n0 = self[0]
+        inp.replace_data(x0)
+        inp.label_dev = lab
+        n0.replace_data(inp.data_as(*n0.shape))
+        self._pending = {
+            "loss_op": ck["loss_op"], "opt": ck["opt"],
+            "hyper": ck["hyper"], "lval": lval, "dout": dout,
+            "dxs": dxs, "ndws": ndws, "ndbs": ndbs, "nws": nws,
+            "nms": nms, "nvs": nvs, "zdws": zdws,
+            "bwd_done": stage == "bwd",
+        }
+        self._apply_fwd_stash(outs, masks, hot, hit)
+        if stage == "bwd":
+            self._apply_bwd(dout, dxs, ndws, ndbs)
+
     def _trace_pass(self, name: str, order):
         """per-layer trace (reference forward.cu:44-51/backprop.cu:41-47)"""
         from ..system import System
@@ -682,6 +906,15 @@ class Model:
             return self
         p = self._pending
         if p is not None and tgt is self._hot and not p["bwd_done"]:
+            if p.get("chunk"):
+                # trace-chunk serve: grads for this batch exist only in
+                # the chunk program; tensor state materializes at the
+                # chunk's final batch (or on chunk_sync introspection)
+                p["bwd_done"] = True
+                self._cycle.append("bwd")
+                if self._chunk is not None:
+                    self._chunk["stage"] = "bwd"
+                return self
             # macro-op fusion: the fused cycle already computed the
             # backward — apply its slice instead of dispatching
             dout, dxs, ndws, ndbs = (p["dout"], p["dxs"],
@@ -693,6 +926,7 @@ class Model:
         if p is not None:                     # deviation: drop the stash
             self._pending = None
             self.fuse_break()
+        self._chunk_abort()                   # outs/params must be current
         prog = self._program()
         bwd = funcs.get_backward(prog, self[0].shape, bool(self.train))
         outs = tuple(self[i + 1].ensure_data() for i in range(self.numel - 1))
@@ -831,6 +1065,16 @@ class Model:
             return False
         self._pending = None
         self._iter += 1
+        if p.get("chunk"):
+            # trace-chunk serve: weights already advanced inside the
+            # chunk program; host tensors materialize at the final batch
+            ck = self._chunk
+            if ck is not None:
+                ck["j"] += 1
+                ck["stage"] = "idle"
+            self._fuse_hits += 1
+            self._note_opt(opt, hyper)
+            return True
         adamlike = opt in ("adam", "adamw")
         for i, (t, s) in enumerate(self._trainables()):
             t.grad[s].replace_data(p["nws"][i])
@@ -840,6 +1084,7 @@ class Model:
                 t.mtum[s + 2].replace_data(p["nvs"][i])
             elif t.mtum[s] is not t.grad[s]:
                 t.mtum[s].replace_data(p["nms"][i])
+        self._fuse_hits += 1
         self._note_opt(opt, hyper)
         return True
 
@@ -849,6 +1094,7 @@ class Model:
         hyper = (float(lr), float(b), 0.0, 0.0)
         if self._try_fused_opt(opt, hyper):
             return self
+        self._chunk_abort()                   # grads must be current
         self._pending = None
         op = Optimizer.SGDM if momentum else Optimizer.SGD
         fn = funcs.get_sgd(self._ndivs(), momentum)
@@ -860,6 +1106,7 @@ class Model:
         hyper = (float(lr), float(b1), float(b2), 0.0)
         if self._try_fused_opt("adam", hyper):
             return self
+        self._chunk_abort()                   # grads must be current
         self._pending = None
         fn = funcs.get_adam(False)
         r = self._opt_apply(Optimizer.ADAM, fn, _jf32(lr),
@@ -872,6 +1119,7 @@ class Model:
         hyper = (float(lr), float(b1), float(b2), float(wd))
         if self._try_fused_opt("adamw", hyper):
             return self
+        self._chunk_abort()                   # grads must be current
         self._pending = None
         fn = funcs.get_adam(True)
         r = self._opt_apply(Optimizer.ADAMW, fn, _jf32(lr),
@@ -916,6 +1164,9 @@ class Model:
 
     def hit(self, recalc: bool = False) -> int:
         if not recalc:
+            from ..mu.future import LazyIdx
+            if isinstance(self._hit, LazyIdx):
+                self._hit = self._hit.vec[self._hit.i]
             return int(self._hit)      # syncs only when the word reads it
         if self._hot is None:
             return 0
@@ -941,6 +1192,14 @@ class Model:
         p = self._pending
         if p is not None and tgt is self._hot and name == p["loss_op"]:
             return p["lval"]                  # fused cycle's loss slice
+        if self._chunk is not None or (p is not None and p.get("chunk")):
+            # out-of-pattern loss during a trace chunk: materialize the
+            # real per-batch state first, then retry the stash
+            self._chunk_abort()
+            p = self._pending
+            if p is not None and tgt is self._hot \
+                    and name == p["loss_op"]:
+                return p["lval"]
         return funcs.loss_fn(name, out.ensure_data(), tgt.ensure_data())
 
     def loss(self, op: int, tgt: Tensor | None = None) -> float:

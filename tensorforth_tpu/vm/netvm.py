@@ -243,6 +243,7 @@ class NetVM(TensorVM):
             self.sys.perr("", "N n(<5) required? ")
             return
         i = self.POPi()
+        self.MTOS().chunk_sync()     # materialize trace-chunk state
         t = self.MTOS()[i]
         p = t.grad[n] if n else (t.grad[0] if t.grad[0] is not None
                                  else t.grad[4])
@@ -286,6 +287,7 @@ class NetVM(TensorVM):
         fn = self.pmem.rd_str(self.POPi())
         from ..io.nnio import nsave, nload
         if self.IS_M(self.tos):
+            self.MTOS().chunk_sync()
             if save:
                 nsave(self.MTOS(), fn, mode)
             else:
@@ -498,7 +500,9 @@ class NetVM(TensorVM):
         # --- batch control --------------------------------------------------------------------------
         def _trainable(vm):
             if vm.M1V():
-                vm.MTOS().train = 1 if vm.POPi() else 0
+                flag = vm.POPi()
+                vm.MTOS().chunk_sync()
+                vm.MTOS().train = 1 if flag else 0
             else:
                 vm.sys.perr("", "N [1|0] required ")
         CODE("trainable", _trainable)
@@ -577,6 +581,7 @@ class NetVM(TensorVM):
         # --- debugging -------------------------------------------------------------------------------------
         def _network(vm):
             if vm.IS_M(vm.tos):
+                vm.MTOS().chunk_sync()
                 vm.sys.dot(IoOp.DOT, vm.tos)
         CODE("network", _network)
         def _npush(vm):
@@ -588,6 +593,7 @@ class NetVM(TensorVM):
             if not vm.M1V():
                 return
             i = vm.POPi()
+            vm.MTOS().chunk_sync()   # materialize trace-chunk state
             t = vm.MTOS()[i]
             vm.PUSH(vm.DUP_DU(vm.mmu.obj2du(t)))
         CODE("n@", _nat)
@@ -624,6 +630,7 @@ class NetVM(TensorVM):
             dsv = vm.POP()
             ds = vm.mmu.du2obj(dsv)
             m = vm.MTOS()
+            m.chunk_sync()
             from ..nn.train import train_epochs
             loss = train_epochs(m, ds, lr=lr, epochs=epochs,
                                 trace=vm.sys.trace)
