@@ -774,9 +774,12 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
     accelerator amortizing the dispatch is what keeps the interactive
     word loop near the scanned nn.train epoch cost."""
 
-    def chunk(buf, all_labels, pos0, params, dws, dbs, ms, vs, key,
+    def chunk(buf, all_labels, pos0, params, dws, dbs, ms, vs, keys,
               lr, h1, h2, h3):
-        def one(pos, params_i, dws_i, dbs_i, ms_i, vs_i):
+        # keys: [K, 2] uint32 — one PRNG key per batch, matching the
+        # seed sequence the word path's per-forward next_key() produces
+        # (only dropout consumes them)
+        def one(pos, key, params_i, dws_i, dbs_i, ms_i, vs_i):
             d = jax.lax.dynamic_slice_in_dim(buf, pos, batch, 0)
             x = ((d.astype(jnp.float32) - mean) * scale).reshape(in_shape)
             labels = jax.lax.dynamic_slice_in_dim(all_labels, pos,
@@ -787,23 +790,25 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
 
         # stash tuple indices: x=0 labels=1 outs=2 masks=3 hot=4 hit=5
         # lval=6 dout=7 dxs=8 ndws=9 ndbs=10 nws=11 nms=12 nvs=13 zdws=14
-        st0 = one(pos0, params, dws, dbs, ms, vs)
+        st0 = one(pos0, keys[0], params, dws, dbs, ms, vs)
         if k_batches == 1:
             one_l = jnp.reshape(st0[6], (1,))
             one_h = jnp.reshape(st0[5], (1,))
             return one_l, one_h, st0
 
-        def body(carry, i):
+        def body(carry, xs):
+            i, key_i = xs
             st = carry
             params_i = _scatter_params(program, params, st[11])
             dws_i, dbs_i = _scatter_zeroed_grads(program, params,
                                                  dws, dbs, st[14])
-            st2 = one(pos0 + i * batch, params_i, dws_i, dbs_i,
+            st2 = one(pos0 + i * batch, key_i, params_i, dws_i, dbs_i,
                       st[12], st[13])
             return st2, (st2[6], st2[5])
 
         last, (ls, hs) = jax.lax.scan(body, st0,
-                                      jnp.arange(1, k_batches))
+                                      (jnp.arange(1, k_batches),
+                                       keys[1:]))
         lvals = jnp.concatenate([jnp.reshape(st0[6], (1,)), ls])
         hits = jnp.concatenate([jnp.reshape(st0[5], (1,)), hs])
         return lvals, hits, last

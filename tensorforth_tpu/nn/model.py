@@ -703,8 +703,7 @@ class Model:
                 or sig[0] != prog or sig[1] != bool(self.train)
                 or self._fuse_hits < 1
                 or os.environ.get("T4_NO_FUSE", "0") == "1"
-                or System.get_sys().trace
-                or any(k == Layer.DROPOUT for k, _o, _s in prog)):
+                or System.get_sys().trace):
             return False
         cp = getattr(inp, "_corpus", None)
         if cp is None or getattr(cp, "_dev_cache", None) is None \
@@ -724,19 +723,29 @@ class Model:
             vs = ()
         dws, dbs = self._gather_grads()
         params = self._params()
+        # per-batch dropout keys: this forward already burned seed s1
+        # (the `key` arg); the served forwards of batches 2..K will each
+        # burn one more next_key() — peek that exact seed run so the
+        # scan reproduces per-batch execution bit-for-bit
+        if any(k == Layer.DROPOUT for k, _o, _s in prog):
+            seeds = System.get_sys().peek_keys(k_batches - 1)
+            keys = jnp.stack([key] + [jax.random.PRNGKey(s)
+                                      for s in seeds])
+        else:
+            keys = jnp.broadcast_to(key, (k_batches,) + key.shape)
         fn = funcs.get_fused_chunk_ds(
             prog, bool(self.train), loss_op, opt, self._ndivs(),
             inp.batch_sz, float(inp._mean), float(inp._scale),
             tuple(self[0].shape), k_batches)
         lvals, hits, last = fn(cp._dev_cache, cp._dev_labels,
                                np.int32(pos), params, dws, dbs, ms, vs,
-                               key, *(_jf32(h) for h in hyper))
+                               keys, *(_jf32(h) for h in hyper))
         self._chunk = {
             "ds": inp, "pos0": int(pos), "batch": inp.batch_sz,
             "k": k_batches, "j": 0, "stage": "idle",
             "lvals": lvals, "hits": hits, "last": last,
             "loss_op": loss_op, "opt": opt, "hyper": hyper,
-            "args": (params, dws, dbs, ms, vs), "key": key,
+            "args": (params, dws, dbs, ms, vs), "keys": keys,
         }
         self._serve_chunk_cycle()
         return True
@@ -817,7 +826,7 @@ class Model:
         for i in range(j):            # replay the COMPLETE cycles
             res = fn(cp._dev_cache, cp._dev_labels,
                      np.int32(pos0 + i * b), params, dws, dbs, ms, vs,
-                     ck["key"], *hy)
+                     ck["keys"][i], *hy)
             nws, nms, nvs, zflat = res[11], res[12], res[13], res[14]
             params = funcs._scatter_params(prog, params, nws)
             dws, dbs = funcs._scatter_zeroed_grads(prog, params, dws,
@@ -841,7 +850,7 @@ class Model:
         # partial cycle: regenerate its stash at the correct state so
         # the remaining words of the current cycle serve normally
         res = fn(cp._dev_cache, cp._dev_labels, np.int32(pos0 + j * b),
-                 params, dws, dbs, ms, vs, ck["key"], *hy)
+                 params, dws, dbs, ms, vs, ck["keys"][j], *hy)
         (x0, lab, outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
          nws, nms, nvs, zdws) = res
         n0 = self[0]

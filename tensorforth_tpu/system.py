@@ -74,10 +74,25 @@ class System:
     def seed(self, s: int):
         self._rng_seed = int(s) & 0x7FFFFFFF
 
+    _LCG_MUL = 6364136223846793005
+    _LCG_INC = 1442695040888963407
+
     def next_key(self):
         """fresh fold-in key for stateless device RNG"""
-        self._rng_seed = (self._rng_seed * 6364136223846793005 + 1442695040888963407) & 0x7FFFFFFFFFFFFFFF
+        self._rng_seed = (self._rng_seed * self._LCG_MUL
+                          + self._LCG_INC) & 0x7FFFFFFFFFFFFFFF
         return self._rng_seed
+
+    def peek_keys(self, n: int):
+        """the next n seeds next_key() WILL return, without advancing —
+        lets the trace-chunk dispatcher precompute the per-batch dropout
+        keys the served forward calls are about to burn (nn/model.py
+        _maybe_chunk_dispatch)"""
+        s, out = self._rng_seed, []
+        for _ in range(n):
+            s = (s * self._LCG_MUL + self._LCG_INC) & 0x7FFFFFFFFFFFFFFF
+            out.append(s)
+        return out
 
     def rand_fill(self, t, dist: str, bias: float = 0.0, scale: float = 1.0):
         """fill tensor object t with random values: v = scale*(bias + u)"""

@@ -171,3 +171,40 @@ def test_arena_dataset_rebinds_into_pool(t4a, monkeypatch):
     out = t4a.forth("rdm rdd forward drop backprop 0.01 nn.adam drop "
                     "rdd fetch drop rdm rdd forward drop drop")
     assert "ERROR" not in out
+
+
+def test_arena_training_excludes_chunking_but_matches(t4a, monkeypatch):
+    """T4_ARENA=1 fetches batches EAGERLY into the pool (payload
+    ownership is the arena's whole point), so the spec-deferred batch
+    that trace-chunking dispatches from never exists — chunking must
+    stay disengaged, and the per-batch path must still match the
+    fusion-disabled control from the same init"""
+    import numpy as np
+    from tests.test_chunk import _models, _snap, _pin, _run_epochs, \
+        _MODEL, _LOOP
+    from tensorforth_tpu.nn import funcs
+
+    monkeypatch.setenv("T4_MAX_BATCH", "6")
+    monkeypatch.setenv("T4_NO_FUSE", "1")
+    t4a.forth(_MODEL.format(name="ak"))
+    snap = _snap(_models()[-1])
+    t4a.forth(_LOOP.format(v="ak", lr="0.001"))
+    ha, la, wa = _run_epochs(t4a, "ak", epochs=2)
+
+    monkeypatch.setenv("T4_NO_FUSE", "0")
+    monkeypatch.setenv("T4_CHUNK", "3")
+    before = funcs.get_fused_chunk_ds.cache_info().currsize
+    t4a.forth(_MODEL.format(name="al"))
+    ml = _models()[-1]
+    _pin(ml, snap)
+    t4a.forth(_LOOP.format(v="al", lr="0.001"))
+    hb, lb, wb = _run_epochs(t4a, "al", epochs=2)
+
+    assert funcs.get_fused_chunk_ds.cache_info().currsize == before, \
+        "chunking engaged despite arena-mode eager in-pool fetch"
+    assert ml._chunk is None
+    assert ha == hb
+    assert abs(float(la) - float(lb)) < 2e-5
+    for i, (a, b) in enumerate(zip(wa, wb)):
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-5,
+                                   err_msg=f"param {i} arena != unfused")

@@ -166,6 +166,58 @@ def test_chunk_respects_t4_chunk_env(t4, monkeypatch):
     assert m._chunk is None and m._fuse_sig is not None
 
 
+def test_peek_keys_matches_next_key_run(t4):
+    """System.peek_keys must return exactly the seeds next_key() then
+    produces — the chunk dispatcher's dropout-key precompute contract"""
+    from tensorforth_tpu.system import System
+    sys_ = System.get_sys()
+    peek = sys_.peek_keys(5)
+    real = [sys_.next_key() for _ in range(5)]
+    assert peek == real
+
+
+def test_chunk_dropout_model_matches_unfused(t4, monkeypatch):
+    """dropout models chunk too (the real t4_30e topology has dropout):
+    the dispatcher peeks the exact LCG seed run the served forwards
+    will burn (System.peek_keys) and the scan threads one key per
+    batch — masks, hits, losses and weights must match per-batch
+    execution"""
+    monkeypatch.setenv("T4_MAX_BATCH", "6")
+    drop_model = """0 trace
+8 28 28 1 nn.model
+flatten 16 linear relu 0.5 dropout 10 linear softmax
+constant {name}
+{name} batchsize dataset mnist_train constant {name}d
+"""
+    from tensorforth_tpu.system import System
+    from tensorforth_tpu.nn import funcs
+
+    monkeypatch.setenv("T4_NO_FUSE", "1")
+    t4.forth(drop_model.format(name="ci"))
+    snap = _snap(_models()[-1])
+    t4.forth(_LOOP.format(v="ci", lr="0.001"))
+    System.get_sys().seed(777)
+    ha, la, wa = _run_epochs(t4, "ci", epochs=2)
+
+    monkeypatch.setenv("T4_NO_FUSE", "0")
+    monkeypatch.setenv("T4_CHUNK", "3")
+    before = funcs.get_fused_chunk_ds.cache_info().currsize
+    t4.forth(drop_model.format(name="cj"))
+    mj = _models()[-1]
+    _pin(mj, snap)
+    t4.forth(_LOOP.format(v="cj", lr="0.001"))
+    System.get_sys().seed(777)
+    hb, lb, wb = _run_epochs(t4, "cj", epochs=2)
+
+    assert funcs.get_fused_chunk_ds.cache_info().currsize > before, \
+        "dropout model never chunked"
+    assert ha == hb, f"hit counts differ: {ha} vs {hb}"
+    assert abs(float(la) - float(lb)) < 2e-5
+    for i, (a, b) in enumerate(zip(wa, wb)):
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-5,
+                                   err_msg=f"param {i} dropout chunk != unfused")
+
+
 def test_chunk_lazyidx_future_resolution():
     """LazyIdx futures: lazy sums over the same vector collapse into a
     single device reduction; whole-vector coverage uses vec.sum()"""
