@@ -211,6 +211,31 @@ def _repl():
     return inst, run
 
 
+def bench_dispatch_floor(n: int = 999, reps: int = 5):
+    """per-dispatch submit cost of the tunneled device: n chained
+    TRIVIAL jitted ops (8x128 add) dispatched back-to-back, one sync at
+    the end — the same dispatch pattern as the `mx` word loop with the
+    compute removed.  word_mx_ms_per_cycle minus this floor is the part
+    the framework actually controls; the floor itself is tunnel/runtime
+    latency that a locally-attached TPU would not pay."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    y = f(x)
+    float(y[0, 0])                                  # warm + real sync
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = x
+        for _i in range(n):
+            y = f(y)
+        float(y[0, 0])
+        samples.append((time.perf_counter() - t0) * 1e3 / n)
+    return samples
+
+
 def bench_word_matmul(reps: int = 5):
     """t4_20a `mx` word loop VERBATIM (examples/t4_20a.4th:19-25):
     [512,1024]@[1024,256] per cycle through the interpreter's @ word.
@@ -361,12 +386,20 @@ def bench_serving(batch: int = 8, n_prompt: int = 32, n_new: int = 224,
     return samples
 
 
-def run_accuracy_gate(epochs: int = 20, n_batches: int = 0):
+def run_accuracy_gate(epochs: int = 20, n_batches: int = 0,
+                      seed: int = 42):
     """BASELINE.md gate: t4_30e CNN to >=98% accuracy (word-level API,
-    fused nn.train epochs).  Full corpus unless n_batches limits it."""
+    fused nn.train epochs).  Full corpus unless n_batches limits it.
+
+    Runs under a FIXED init seed: the gate is a regression detector and
+    must be reproducible.  Cross-seed spread (including a ~10%
+    init-dependent class-collapse failure mode of the synthetic task)
+    is documented in io/loader.py Synthetic and scripts/gate_sweep.py."""
     import re
     if n_batches:
         os.environ["T4_MAX_BATCH"] = str(n_batches)
+    old_seed = os.environ.get("T4_SEED")
+    os.environ["T4_SEED"] = str(seed)
     try:
         _, run = _repl()
         run("""0 trace
@@ -386,6 +419,10 @@ gm gtd gep drop""")
         return float(re.search(r"GATE= ([-+\d.eE]+) ", out).group(1))
     finally:
         os.environ.pop("T4_MAX_BATCH", None)
+        if old_seed is None:
+            os.environ.pop("T4_SEED", None)
+        else:
+            os.environ["T4_SEED"] = old_seed
 
 
 def main():
@@ -435,6 +472,9 @@ def main():
     details["word_mx_ms_per_cycle_med"] = m
     details["word_mx_ms_per_cycle_spread"] = s
     details["word_mx_vs_gtx1660_0.768ms"] = round(0.768 / m, 2)
+    fl, fs = _med_spread(bench_dispatch_floor(), 4)
+    details["tunnel_dispatch_floor_ms_med"] = fl
+    details["tunnel_dispatch_floor_spread"] = fs
 
     wb = bench_word_epoch()
     m, s = _med_spread(wb, 3)

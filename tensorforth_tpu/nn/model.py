@@ -680,9 +680,9 @@ class Model:
         T4_MAX_BATCH-truncated) corpus window, capped at T4_CHUNK"""
         import os
         try:
-            kmax = int(os.environ.get("T4_CHUNK", "16"))
+            kmax = int(os.environ.get("T4_CHUNK", "100"))
         except ValueError:
-            kmax = 16
+            kmax = 100
         if kmax <= 1:
             return 0
         cp = getattr(inp, "_corpus", None)

@@ -699,6 +699,31 @@ class NetVM(TensorVM):
             vm.DROP_DU(tv)
             vm.PUSH(vm.mmu.obj2du(ot))
         CODE("nn.gen", _nn_gen)
+        def _prof_start(vm):
+            """( -- ) start an XLA/device profiler trace (jax.profiler).
+            Extension beyond the reference: its `trace` word
+            (src/sys/debug.cpp) prints per-layer activation stats; this
+            captures the compiled-program timeline (HLO ops, device
+            occupancy) into <tb-logdir>/plugins/profile — or
+            ./t4_profile without -t — for TensorBoard's profiler."""
+            import jax
+            logdir = vm.sys.tb.path if vm.sys.tb else "t4_profile"
+            try:
+                jax.profiler.start_trace(logdir)
+                vm._prof_dir = logdir
+            except Exception as e:               # noqa: BLE001
+                vm.sys.perr("", f"prof.start failed ({e}) ")
+        CODE("prof.start", _prof_start)
+        def _prof_stop(vm):
+            """( -- ) stop the profiler trace and report its location"""
+            import jax
+            try:
+                jax.profiler.stop_trace()
+                vm.sys.pstr("\\ profile -> "
+                            f"{getattr(vm, '_prof_dir', 't4_profile')}\n")
+            except Exception as e:               # noqa: BLE001
+                vm.sys.perr("", f"prof.stop failed ({e}) ")
+        CODE("prof.stop", _prof_stop)
         # --- overrides ------------------------------------------------------------------------------------------
         CODE("boot", lambda vm: vm.dict.clear(vm.dict.find("network") + 1))
         CODE("flatten", lambda vm: vm._nnop(Layer.FLATTEN))
