@@ -150,3 +150,50 @@ def test_fuzz_muldiv_underflow_bounded(t4):
     _reset(t4)
     out = t4.forth("2 3 4 */ . cr")        # 2*3/4 = 1.5
     assert "1.5" in out, f"*/ broken after underflow fuzz: {out[-200:]}"
+
+
+def test_fuzz_chunk_probe_injection_consistent(t4, monkeypatch):
+    """adversarial rollback fuzz: an out-of-cycle observation word
+    injected at a random position in the chunked training loop body
+    must leave hits/weights identical to fusion-disabled execution
+    (Model._chunk_abort rollback-replay, generalizing the single
+    nn.w-probe case in test_chunk)"""
+    from tests.test_chunk import _models, _snap, _pin, _run_epochs, _MODEL
+    from tensorforth_tpu.nn import funcs
+
+    monkeypatch.setenv("T4_MAX_BATCH", "5")
+    rs = np.random.RandomState(2024)
+    probes = ["1 nn.w sum {v}p ! drop ",  # weight introspection
+              "1 nn.db drop ",              # bias-grad read
+              "2 n@ sum {v}p ! drop ",      # activation fetch
+              ""]                           # control: no probe
+    slots = ["forward loss.ce {v}l ! ", "nn.hit {v}h +! ",
+             "backprop ", "0.001 nn.adam "]
+
+    for i in range(6):
+        probe = probes[rs.randint(len(probes))]
+        at = rs.randint(1, len(slots) + 1)   # never before forward
+        body = "".join(slots[:at]) + probe + "".join(slots[at:])
+        loop = ("variable {v}h 0 {v}h ! variable {v}l variable {v}p\n"
+                ": {v}ep for " + body + "next ;")
+
+        monkeypatch.setenv("T4_NO_FUSE", "1")
+        t4.forth(_MODEL.format(name=f"fa{i}"))
+        snap = _snap(_models()[-1])
+        t4.forth(loop.format(v=f"fa{i}"))
+        ha, la, wa = _run_epochs(t4, f"fa{i}", epochs=2)
+
+        monkeypatch.setenv("T4_NO_FUSE", "0")
+        monkeypatch.setenv("T4_CHUNK", "3")
+        t4.forth(_MODEL.format(name=f"fb{i}"))
+        _pin(_models()[-1], snap)
+        t4.forth(loop.format(v=f"fb{i}"))
+        hb, lb, wb = _run_epochs(t4, f"fb{i}", epochs=2)
+
+        assert ha == hb, f"round {i} probe={probe!r}@{at}: hits {ha}!={hb}"
+        assert abs(float(la) - float(lb)) < 2e-5, \
+            f"round {i} probe={probe!r}@{at}: loss {la} vs {lb}"
+        for j, (a, b) in enumerate(zip(wa, wb)):
+            np.testing.assert_allclose(
+                b, a, rtol=0, atol=1e-5,
+                err_msg=f"round {i} probe={probe!r}@{at} param {j}")
