@@ -184,7 +184,19 @@ def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 5):
         float(l2)
         sps_samples.append(n_batches * batch
                            / (time.perf_counter() - t0))
-    return ms_samples, sps_samples
+
+    def scan_ms_per_batch():
+        """one timed scan-epoch run — handed to bench_word_epoch so the
+        word/scan ratio is taken INSIDE one tunnel window per rep
+        (cross-section ratios drift 2-3x with congestion)"""
+        t0 = time.perf_counter()
+        epoch(params, opt, xs, ys, key)
+        l = epoch(params, opt, xs, ys, key)[2]
+        float(l)                # real sync (block_until_ready is
+        #                         optimistic on the tunnel)
+        return (time.perf_counter() - t0) * 1000.0 / (2 * n_batches)
+
+    return ms_samples, sps_samples, scan_ms_per_batch
 
 
 def _repl():
@@ -256,11 +268,14 @@ def bench_word_matmul(reps: int = 5):
 
 
 def bench_word_epoch(n_batches: int = 100, batch: int = 100,
-                     reps: int = 5):
+                     reps: int = 5, scan_timer=None):
     """t4_30e inner training loop VERBATIM (forward / loss.ce lox ! /
     nn.hit hit +! / backprop / nn.adam per batch) — the interactive
     word-at-a-time path with deferred-scalar futures.  Returns
-    ms_per_batch samples."""
+    (ms_per_batch samples, word/scan per-rep ratio samples): when
+    scan_timer is given, each rep times the word epoch and a scan
+    epoch back-to-back in ONE tunnel window, so the ratio cancels
+    congestion drift (same methodology as the GEMM A/B pairs)."""
     import re
     os.environ["T4_MAX_BATCH"] = str(n_batches)
     try:
@@ -283,14 +298,16 @@ variable hit 0 hit ! variable lox
         # its ~1.2 s compile
         run("bds rewind")
         run("bm bds ep drop hit @ . 0 hit !")
-        samples = []
+        samples, ratios = [], []
         for _ in range(reps):
             run("bds rewind")
             out = run('clock bm bds ep drop clock swap - ." EPMS= " . cr '
                       'hit @ . 0 hit !')
             ms = float(re.search(r"EPMS= ([-+\d.eE]+) ", out).group(1))
             samples.append(ms / n_batches)
-        return samples
+            if scan_timer is not None:
+                ratios.append(samples[-1] / scan_timer())
+        return samples, ratios
     finally:
         os.environ.pop("T4_MAX_BATCH", None)
 
@@ -458,7 +475,7 @@ def main():
             details["gemm3_f32_strict_spread"] = fs
             headline = hm
 
-    ms_steps, sps_epoch = bench_mnist()
+    ms_steps, sps_epoch, scan_timer = bench_mnist()
     m, s = _med_spread(ms_steps, 3)
     details["mnist_cnn_ms_per_batch100_med"] = m
     details["mnist_cnn_ms_per_batch100_spread"] = s
@@ -476,17 +493,18 @@ def main():
     details["tunnel_dispatch_floor_ms_med"] = fl
     details["tunnel_dispatch_floor_spread"] = fs
 
-    wb = bench_word_epoch()
+    wb, wr = bench_word_epoch(scan_timer=scan_timer)
     m, s = _med_spread(wb, 3)
     details["word_epoch_ms_per_batch100_med"] = m
     details["word_epoch_ms_per_batch100_spread"] = s
     details["word_epoch_samples_per_sec_med"] = round(100e3 / m, 0)
     # VERDICT r2 item 2 criterion: fused word-path per-batch cost vs the
-    # nn.train scan-epoch per-batch cost (same 100-sample batches).
-    scan_sps = details.get("mnist_cnn_epoch_mode_samples_per_sec_med", 0)
-    if scan_sps:
-        details["word_vs_scan_epoch_ratio"] = round(
-            m / (100e3 / scan_sps), 2)
+    # nn.train scan-epoch per-batch cost (same 100-sample batches) —
+    # per-rep interleaved pairs so congestion drift cancels
+    if wr:
+        rm, rs = _med_spread(wr, 2)
+        details["word_vs_scan_epoch_ratio"] = rm
+        details["word_vs_scan_epoch_ratio_spread"] = rs
 
     try:
         lm = bench_serving()
