@@ -502,9 +502,20 @@ def main():
     # nn.train scan-epoch per-batch cost (same 100-sample batches) —
     # per-rep interleaved pairs so congestion drift cancels
     if wr:
+        # STRICT ratio: word epoch (100 batches + 1 readback) vs a pure
+        # back-to-back scan (128 batches + 1 readback), interleaved per
+        # rep — the residual is per-batch interpreter execution, which
+        # is the word path's product surface itself
         rm, rs = _med_spread(wr, 2)
         details["word_vs_scan_epoch_ratio"] = rm
         details["word_vs_scan_epoch_ratio_spread"] = rs
+    # nn.train-style ratio: against the epoch-mode sps loop above
+    # (64-batch epochs, per-epoch loss readback — how nn.train is
+    # actually driven from the REPL)
+    scan_sps = details.get("mnist_cnn_epoch_mode_samples_per_sec_med", 0)
+    if scan_sps:
+        details["word_vs_nn_train_epoch_ratio"] = round(
+            m / (100e3 / scan_sps), 2)
 
     try:
         lm = bench_serving()
