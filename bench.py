@@ -121,7 +121,7 @@ def bench_gemm_at(size: int, reps: int = 5):
     return out
 
 
-def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 5):
+def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 7):
     """t4_30e CNN train step samples/sec (fwd+loss+grads+Adam, one jit).
     Returns (ms_per_batch samples, epoch-mode sps samples)."""
     import jax
@@ -313,7 +313,7 @@ variable hit 0 hit ! variable lox
 
 
 def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
-                    n_iter: int = 64, reps: int = 5):
+                    n_iter: int = 64, reps: int = 9):
     """flash-attention kernels vs the fused XLA einsum path at a
     serving shape ([batch*heads, S, dh]); returns dict of TFLOP/s
     sample lists over the 4*NH*S^2*dh attention FLOPs: 'hybrid'
