@@ -21,7 +21,21 @@ semantics (see SURVEY.md for the file-by-file parity map).
 
 __version__ = "0.1.0"
 
+import os as _os
+
 from .config import Config  # noqa: F401
+
+if Config.PRECISION == "strict":
+    # f32-strict matmuls framework-wide (reference-parity mode on TPU;
+    # the default 'fast' keeps the XLA bf16-multiplicand class for the
+    # NN training tier).  Env var covers a not-yet-imported jax; the
+    # config update covers one imported earlier.
+    _os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+    try:
+        import jax as _jax
+        _jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:                                  # noqa: BLE001
+        pass
 
 
 def repl(*args, **kw):

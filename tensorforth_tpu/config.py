@@ -32,6 +32,15 @@ class Config:
 
     # --- numerics
     DU_EPS = 1.0e-6        # epsilon compare (reference ten4_types.h:85)
+    # matmul precision class (TPU): 'fast' = XLA default (bf16
+    # multiplicands into the MXU, f32 accumulate — the throughput
+    # class bench.py reports); 'strict' = f32-strict everywhere, for
+    # reference-parity verification on TPU hardware.  Word-tier linalg
+    # and the interactive `@`/gemm0 ops are ALWAYS f32-strict — their
+    # contract is the reference's 1e-5 verify-lines (ops/engine.py,
+    # ops/linalg.py); T4_PRECISION only widens strictness to the NN
+    # training tier.
+    PRECISION = os.environ.get("T4_PRECISION", "fast")
 
     # --- printing (reference io/aio.h:80-82)
     PRINT_THRES = 10       # max cells per dimension before elision

@@ -145,21 +145,29 @@ def ten_op_tt(op: str, a, b, out_shape):
 # ---------------------------------------------------------------------------
 # matmul (reference Tensor::mm / k_gemm_tile_claude)
 # ---------------------------------------------------------------------------
+# Word-tier matmuls are ALWAYS f32-strict (precision="highest"): the
+# interactive `@` tier's contract is the reference's 1e-5 verify-lines,
+# and on TPU the default class truncates multiplicands to bf16.  The
+# throughput tiers (nn/funcs training programs, gemm2..4, flash) keep
+# their own documented precision classes.
 @jax.jit
 def _mm2d(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
 def _mv(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
 def _mm_batched(a, b):
     """a:[N,H,W,C] @ b:[N,W,K,C] -> [N,H,K,C] (channel as batch)"""
     return jnp.einsum("nhwc,nwkc->nhkc", a, b,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def matmul(a_arr, a_shape, b_arr, b_shape):
@@ -186,7 +194,9 @@ def matmul(a_arr, a_shape, b_arr, b_shape):
 def _gemm_xla(a, b, c, alpha, beta, ta, tb):
     aa = a.T if ta else a
     bb = b.T if tb else b
-    return alpha * jnp.dot(aa, bb, preferred_element_type=jnp.float32) + beta * c
+    # gemm0/1 are the reference-parity A/B baseline — f32-strict
+    return alpha * jnp.dot(aa, bb, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST) + beta * c
 
 
 def gemm(a, b, c, alpha=1.0, beta=0.0, ta=False, tb=False, variant=0):
@@ -244,7 +254,8 @@ def _min(x):
 @jax.jit
 def _dot(a, b):
     return jnp.dot(a.reshape(-1), b.reshape(-1),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def t_sum(x) -> float:

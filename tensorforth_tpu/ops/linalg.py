@@ -19,24 +19,29 @@ import jax
 import jax.numpy as jnp
 
 
+# The linalg words are ALWAYS f32-strict: on TPU the default matmul
+# class truncates multiplicands to bf16, which breaks the 1e-5
+# verify-line contract these words carry (t4_22a inverse round-trips).
 @jax.jit
 def inverse(a):
     """f32 inverse + one Newton-Schulz refinement step: X' = X(2I - AX).
     Recovers the couple of ulps a blocked f32 LU loses, so `inverse @`
     round-trips print as the identity like the reference's Gauss-Jordan
     (acceptance bar: values within 1e-5 of the CUDA build)."""
-    x = jnp.linalg.inv(a)
-    k = a.shape[-1]
-    eye2 = 2.0 * jnp.eye(k, dtype=jnp.float32)
-    return x @ (eye2 - a @ x)
+    with jax.default_matmul_precision("highest"):
+        x = jnp.linalg.inv(a)
+        k = a.shape[-1]
+        eye2 = 2.0 * jnp.eye(k, dtype=jnp.float32)
+        return x @ (eye2 - a @ x)
 
 
 @jax.jit
 def _plu(a):
-    p, l, u = jax.scipy.linalg.lu(a)
-    k = a.shape[-1]
-    lu = l + u - jnp.eye(k, dtype=jnp.float32)
-    return p, lu
+    with jax.default_matmul_precision("highest"):
+        p, l, u = jax.scipy.linalg.lu(a)
+        k = a.shape[-1]
+        lu = l + u - jnp.eye(k, dtype=jnp.float32)
+        return p, lu
 
 
 def plu(a):
@@ -57,7 +62,8 @@ def tri_lower(lu):
 
 @jax.jit
 def _det(a):
-    return jnp.linalg.det(a)
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.det(a)
 
 
 def det(a) -> float:
@@ -68,6 +74,7 @@ def det(a) -> float:
 def solve(a, b):
     """f32 solve + one iterative-refinement step (x += A\\(b - Ax)):
     integer-exact systems print as integers, matching the reference"""
-    x = jnp.linalg.solve(a, b)
-    r = b - a @ x
-    return x + jnp.linalg.solve(a, r)
+    with jax.default_matmul_precision("highest"):
+        x = jnp.linalg.solve(a, b)
+        r = b - a @ x
+        return x + jnp.linalg.solve(a, r)

@@ -10,6 +10,12 @@ suite against the real TPU chip instead.
 import os
 import sys
 
+if os.environ.get("T4_TEST_TPU", "0") == "1":
+    # reference-parity precision on real TPU hardware: the suite pins
+    # 1e-5-class equalities that the default bf16-multiplicand matmul
+    # class cannot hold (tensorforth_tpu/__init__.py applies this)
+    os.environ.setdefault("T4_PRECISION", "strict")
+
 if (os.environ.get("PALLAS_AXON_POOL_IPS")
         and os.environ.get("T4_TEST_TPU", "0") != "1"
         and not os.environ.get("_T4_REEXEC")):

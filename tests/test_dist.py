@@ -37,6 +37,12 @@ def test_init_distributed_calls_initialize(monkeypatch, t4):
     monkeypatch.setattr(dist, "_initialized", False)
 
 
+def _need8():
+    import jax
+    return pytest.mark.skipif(
+        len(jax.devices()) < 8,
+        reason="needs the 8-device virtual mesh (single real TPU chip)")
+@_need8()
 def test_global_mesh_single_process_delegates(t4):
     from tensorforth_tpu.parallel.dist import make_global_mesh
     m = make_global_mesh(dp=4, tp=2)
@@ -44,6 +50,7 @@ def test_global_mesh_single_process_delegates(t4):
     assert m.devices.shape == (4, 2)
 
 
+@_need8()
 def test_global_mesh_multi_host_layout(monkeypatch, t4):
     """fake a 4-process x 2-local-device cluster: dp must be host-major
     (DCN outermost), tp within a host"""
