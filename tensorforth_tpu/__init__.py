@@ -26,14 +26,19 @@ import os as _os
 from .config import Config  # noqa: F401
 
 if Config.PRECISION == "strict":
-    # f32-strict matmuls framework-wide (reference-parity mode on TPU;
+    # f32-class matmuls framework-wide (reference-parity mode on TPU;
     # the default 'fast' keeps the XLA bf16-multiplicand class for the
-    # NN training tier).  Env var covers a not-yet-imported jax; the
-    # config update covers one imported earlier.
-    _os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+    # NN training tier).  'high' = 3-pass bf16 — f32-class accuracy
+    # with sane compiles; 'highest' makes the tunneled backend's conv
+    # compiles pathological (>9 min for ONE 3x3 conv, measured r3).
+    # The word-tier matmuls/linalg pin Precision.HIGHEST explicitly
+    # (ops/engine.py, ops/linalg.py) — no convs there, so they are
+    # unaffected.  Env var covers a not-yet-imported jax; the config
+    # update covers one imported earlier.
+    _os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "high")
     try:
         import jax as _jax
-        _jax.config.update("jax_default_matmul_precision", "highest")
+        _jax.config.update("jax_default_matmul_precision", "high")
     except Exception:                                  # noqa: BLE001
         pass
 

@@ -131,16 +131,23 @@ def test_flash_kernel_interpret_matches_einsum(t4):
     v = jax.random.normal(ks[2], (b, s, dh), jnp.float32)
 
     def ref(causal):
-        sc = jnp.einsum("nqd,nkd->nqk", q, k) / jnp.sqrt(jnp.float32(dh))
-        if causal:
-            qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-            ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-            sc = jnp.where(ki <= qi, sc, -1.0e30)
-        w = jax.nn.softmax(sc, axis=-1)
-        return jnp.einsum("nqk,nkd->nqd", w, v)
+        # f32-strict reference: pin HIGHEST so the comparison target is
+        # exact regardless of the suite's global precision class
+        with jax.default_matmul_precision("highest"):
+            sc = jnp.einsum("nqd,nkd->nqk", q, k) / jnp.sqrt(jnp.float32(dh))
+            if causal:
+                qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+                ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+                sc = jnp.where(ki <= qi, sc, -1.0e30)
+            w = jax.nn.softmax(sc, axis=-1)
+            return jnp.einsum("nqk,nkd->nqd", w, v)
 
     for causal in (False, True):
-        got = flash_attention(q, k, v, causal=causal, interpret=True)
+        # interpret mode lowers the kernel's dots to XLA ops, which
+        # inherit the ambient precision — pin HIGHEST to match the
+        # reference (the real Mosaic kernel does true f32 dots)
+        with jax.default_matmul_precision("highest"):
+            got = flash_attention(q, k, v, causal=causal, interpret=True)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref(causal)),
             rtol=2e-5, atol=2e-5,

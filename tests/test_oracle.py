@@ -19,11 +19,16 @@ def _rand(*shape, seed=0):
 
 
 def test_conv_forward_matches_torch():
+    import jax
     x = _rand(2, 8, 8, 3, seed=1)
     w = _rand(3, 3, 3, 5, seed=2)          # [C1,K,K,C0] reference layout
     b = _rand(5, seed=3)
-    ours = np.asarray(funcs._conv_fwd(jnp.asarray(x), jnp.asarray(w),
-                                      jnp.asarray(b), 1, 1))
+    # f32-strict comparison: pin HIGHEST locally (the strict suite's
+    # global is 'high' = 3-pass bf16, ~3e-4 conv error; this op size
+    # compiles fine at HIGHEST)
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(funcs._conv_fwd(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 1, 1))
     tw = torch.tensor(w).permute(3, 0, 1, 2)        # [C0,C1,K,K]
     ty = F.conv2d(torch.tensor(x).permute(0, 3, 1, 2), tw,
                   torch.tensor(b), stride=1, padding=1)
@@ -32,11 +37,13 @@ def test_conv_forward_matches_torch():
 
 
 def test_dconv_forward_matches_torch():
+    import jax
     x = _rand(2, 4, 4, 3, seed=4)
     w = _rand(3, 4, 4, 6, seed=5)          # [C1,K,K,C0], K=4 S=2 P=1
     b = np.zeros(6, np.float32)
-    ours = np.asarray(funcs._dconv_fwd(jnp.asarray(x), jnp.asarray(w),
-                                       jnp.asarray(b), 2, 1))
+    with jax.default_matmul_precision("highest"):   # see conv test above
+        ours = np.asarray(funcs._dconv_fwd(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 2, 1))
     tw = torch.tensor(w).permute(0, 3, 1, 2)        # [C1,C0,K,K]
     ty = F.conv_transpose2d(torch.tensor(x).permute(0, 3, 1, 2), tw,
                             stride=2, padding=1)
