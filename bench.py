@@ -123,7 +123,8 @@ def bench_gemm_at(size: int, reps: int = 5):
 
 def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 7):
     """t4_30e CNN train step samples/sec (fwd+loss+grads+Adam, one jit).
-    Returns (ms_per_batch samples, epoch-mode sps samples)."""
+    Returns (ms_per_batch samples, epoch-mode sps samples,
+    scan_ms_per_batch timer closure for interleaved word/scan pairs)."""
     import jax
     import jax.numpy as jnp
     from tensorforth_tpu.models import mnist_cnn

@@ -60,16 +60,19 @@ constant ds0
   g_lr 0.5 nn.adam ( D G ) drop ;
 : epoch ( D ds -- D' ) for train_d train_g next ;""")
 
+    if EPOCHS < 1:
+        raise SystemExit("GAN_EPOCHS must be >= 1")
     run("D ds0")
+    g = dr = df = float("nan")
     for ep in range(EPOCHS):
         run("epoch")
         out = run('." E= " _gr . _dr . _df . cr')
         m = re.findall(r"([-+\d.eE]+)\s", out)
-        print(f"[gan] epoch {ep}: G={m[0]} Dr={m[1]} Df={m[2]}",
+        if len(m) >= 3:              # keep the last good reading even
+            g, dr, df = (float(v) for v in m[:3])   # if one line garbles
+        print(f"[gan] epoch {ep}: G={g:.4f} Dr={dr:.4f} Df={df:.4f}",
               file=sys.stderr, flush=True)
         run(f"{ep} adj_lr ds0 rewind")
-
-    g, dr, df = (float(v) for v in m[:3])
     ok = all(abs(v - math.log(2.0)) < 0.35 for v in (g, dr, df))
     print(json.dumps({
         "gan_epochs": EPOCHS, "gan_gen_loss": round(g, 4),

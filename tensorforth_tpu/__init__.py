@@ -35,10 +35,12 @@ if Config.PRECISION == "strict":
     # (ops/engine.py, ops/linalg.py) — no convs there, so they are
     # unaffected.  Env var covers a not-yet-imported jax; the config
     # update covers one imported earlier.
-    _os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "high")
+    # respect an explicit user override of the class (e.g. a user
+    # forcing true-f32 NN training accepts the conv-compile cost)
+    _lvl = _os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "high")
     try:
         import jax as _jax
-        _jax.config.update("jax_default_matmul_precision", "high")
+        _jax.config.update("jax_default_matmul_precision", _lvl)
     except Exception:                                  # noqa: BLE001
         pass
 

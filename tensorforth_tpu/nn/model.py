@@ -493,8 +493,12 @@ class Model:
         # only dropout consumes the key — skip the per-batch device op
         # (and keep the word path deterministic) when none is present
         if any(k == Layer.DROPOUT for k, _o, _s in prog):
-            key = jax.random.PRNGKey(sys.next_key())
+            seed = sys.next_key()
+            self._fwd_seed = seed      # _chunk_fwd verifies this against
+            #                            the chunk's precomputed seed run
+            key = jax.random.PRNGKey(seed)
         else:
+            self._fwd_seed = None
             key = _key0()
         hot = hit = None
         if inp.is_dataset():
@@ -724,14 +728,25 @@ class Model:
         dws, dbs = self._gather_grads()
         params = self._params()
         # per-batch dropout keys: this forward already burned seed s1
-        # (the `key` arg); the served forwards of batches 2..K will each
-        # burn one more next_key() — peek that exact seed run so the
-        # scan reproduces per-batch execution bit-for-bit
+        # (self._fwd_seed, the `key` arg); the served forwards of
+        # batches 2..K will each burn one more next_key() — peek that
+        # exact seed run so the scan reproduces per-batch execution
+        # bit-for-bit.  _chunk_fwd verifies each served forward's
+        # burned seed against this list, so a stray RNG consumer in
+        # the loop body forces rollback instead of silently diverging.
+        # The [K,2] key array is built host-side in one upload (K
+        # jax.random.PRNGKey calls would each cost a tunnel dispatch —
+        # the very cost chunking amortizes); layout matches what
+        # threefry_seed produces under default (x64-disabled) config:
+        # the seed is truncated to 32 bits, so the high word is 0
+        # (pinned by the dropout-equivalence test end-to-end).
         if any(k == Layer.DROPOUT for k, _o, _s in prog):
-            seeds = System.get_sys().peek_keys(k_batches - 1)
-            keys = jnp.stack([key] + [jax.random.PRNGKey(s)
-                                      for s in seeds])
+            seeds = [self._fwd_seed] + System.get_sys().peek_keys(
+                k_batches - 1)
+            keys = jnp.asarray(np.array(
+                [[0, s & 0xFFFFFFFF] for s in seeds], np.uint32))
         else:
+            seeds = None
             keys = jnp.broadcast_to(key, (k_batches,) + key.shape)
         fn = funcs.get_fused_chunk_ds(
             prog, bool(self.train), loss_op, opt, self._ndivs(),
@@ -746,6 +761,7 @@ class Model:
             "lvals": lvals, "hits": hits, "last": last,
             "loss_op": loss_op, "opt": opt, "hyper": hyper,
             "args": (params, dws, dbs, ms, vs), "keys": keys,
+            "seeds": seeds,
         }
         self._serve_chunk_cycle()
         return True
@@ -753,14 +769,25 @@ class Model:
     def _chunk_fwd(self, inp, spec, prog) -> bool:
         """serve the next cycle's forward from the active chunk; any
         mismatch (unexpected dataset/position, incomplete previous
-        cycle, topology/train-flag change) rolls back first"""
+        cycle, topology/train-flag change, or a dropout-seed mismatch)
+        rolls back first.
+
+        The seed check is the guard against OTHER RNG consumers in the
+        loop body (`randn`, `rand`, `nn.gen`, ...): the chunk's keys
+        were peeked assuming the next K-1 next_key() draws all go to
+        the served forwards; a stray draw shifts the LCG, this
+        forward's burned seed no longer matches the precomputed run,
+        and the rollback-replay restores exact per-batch semantics
+        (the already-served cycles all verified their seeds)."""
         ck = self._chunk
         sig = self._fuse_sig
         expected = ck["pos0"] + ck["j"] * ck["batch"]
         if not (inp is ck["ds"] and spec is not None
                 and int(spec) == expected and ck["stage"] == "idle"
                 and ck["j"] < ck["k"] and sig is not None
-                and sig[0] == prog and sig[1] == bool(self.train)):
+                and sig[0] == prog and sig[1] == bool(self.train)
+                and (ck["seeds"] is None
+                     or self._fwd_seed == ck["seeds"][ck["j"]])):
             self._chunk_abort()
             return False
         inp._fetch_spec = None

@@ -193,14 +193,25 @@ def test_arena_training_excludes_chunking_but_matches(t4a, monkeypatch):
 
     monkeypatch.setenv("T4_NO_FUSE", "0")
     monkeypatch.setenv("T4_CHUNK", "3")
-    before = funcs.get_fused_chunk_ds.cache_info().currsize
     t4a.forth(_MODEL.format(name="al"))
     ml = _models()[-1]
     _pin(ml, snap)
     t4a.forth(_LOOP.format(v="al", lr="0.001"))
+    # spy on the dispatcher itself — the lru_cache size is vacuous when
+    # an identically-keyed chunk program was cached by an earlier test
+    from tensorforth_tpu.nn.model import Model
+    dispatched = []
+    orig = Model._maybe_chunk_dispatch
+
+    def spy(self, *a, **kw):
+        r = orig(self, *a, **kw)
+        dispatched.append(r)
+        return r
+
+    monkeypatch.setattr(Model, "_maybe_chunk_dispatch", spy)
     hb, lb, wb = _run_epochs(t4a, "al", epochs=2)
 
-    assert funcs.get_fused_chunk_ds.cache_info().currsize == before, \
+    assert not any(dispatched), \
         "chunking engaged despite arena-mode eager in-pool fetch"
     assert ml._chunk is None
     assert ha == hb

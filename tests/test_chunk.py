@@ -232,3 +232,45 @@ def test_chunk_lazyidx_future_resolution():
     # plain indexed future
     h = Future(LazyIdx(vec, 3))
     assert h.value() == 8.0
+
+
+def test_chunk_dropout_with_stray_rng_consumer_rolls_back(t4, monkeypatch):
+    """a non-forward RNG consumer (`randn`) inside the loop body shifts
+    the host LCG, so the chunk's peeked dropout-seed run goes stale —
+    the seed check in _chunk_fwd must force rollback-replay and the end
+    state must STILL match unfused execution (code-review r3 finding:
+    before the check, this diverged silently at 3.4e-2)"""
+    monkeypatch.setenv("T4_MAX_BATCH", "6")
+    drop_model = """0 trace
+8 28 28 1 nn.model
+flatten 16 linear relu 0.5 dropout 10 linear softmax
+constant {name}
+{name} batchsize dataset mnist_train constant {name}d
+"""
+    stray_loop = ("variable {v}h 0 {v}h ! variable {v}l\n"
+                  ": {v}ep for forward loss.ce {v}l ! nn.hit {v}h +! "
+                  "4 4 matrix randn drop "
+                  "backprop 0.001 nn.adam next ;")
+    from tensorforth_tpu.system import System
+
+    monkeypatch.setenv("T4_NO_FUSE", "1")
+    t4.forth(drop_model.format(name="ck"))
+    snap = _snap(_models()[-1])
+    t4.forth(stray_loop.format(v="ck"))
+    System.get_sys().seed(555)
+    ha, la, wa = _run_epochs(t4, "ck", epochs=2)
+
+    monkeypatch.setenv("T4_NO_FUSE", "0")
+    monkeypatch.setenv("T4_CHUNK", "3")
+    t4.forth(drop_model.format(name="cl"))
+    ml = _models()[-1]
+    _pin(ml, snap)
+    t4.forth(stray_loop.format(v="cl"))
+    System.get_sys().seed(555)
+    hb, lb, wb = _run_epochs(t4, "cl", epochs=2)
+
+    assert ha == hb, f"hit counts differ: {ha} vs {hb}"
+    assert abs(float(la) - float(lb)) < 2e-5
+    for i, (a, b) in enumerate(zip(wa, wb)):
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-5,
+                                   err_msg=f"param {i} stray-RNG chunk")
