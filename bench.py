@@ -187,9 +187,10 @@ def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 7):
                            / (time.perf_counter() - t0))
 
     def scan_ms_per_batch():
-        """one timed scan-epoch run — handed to bench_word_epoch so the
-        word/scan ratio is taken INSIDE one tunnel window per rep
-        (cross-section ratios drift 2-3x with congestion)"""
+        """one timed pure-scan run (two back-to-back epochs, ONE
+        readback) — handed to bench_word_epoch so the strict word/scan
+        ratio is taken INSIDE one tunnel window per rep (cross-section
+        ratios drift 2-3x with congestion)"""
         t0 = time.perf_counter()
         epoch(params, opt, xs, ys, key)
         l = epoch(params, opt, xs, ys, key)[2]
@@ -197,7 +198,16 @@ def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 7):
         #                         optimistic on the tunnel)
         return (time.perf_counter() - t0) * 1000.0 / (2 * n_batches)
 
-    return ms_samples, sps_samples, scan_ms_per_batch
+    def nn_train_ms_per_batch():
+        """one epoch + its loss readback — the per-batch cost of
+        driving nn.train from the REPL (the VERDICT r2 item-2
+        comparison), also taken inside the word rep's window"""
+        t0 = time.perf_counter()
+        l = epoch(params, opt, xs, ys, key)[2]
+        float(l)
+        return (time.perf_counter() - t0) * 1000.0 / n_batches
+
+    return ms_samples, sps_samples, scan_ms_per_batch, nn_train_ms_per_batch
 
 
 def _repl():
@@ -269,14 +279,15 @@ def bench_word_matmul(reps: int = 5):
 
 
 def bench_word_epoch(n_batches: int = 100, batch: int = 100,
-                     reps: int = 5, scan_timer=None):
+                     reps: int = 5, scan_timer=None, nn_timer=None):
     """t4_30e inner training loop VERBATIM (forward / loss.ce lox ! /
     nn.hit hit +! / backprop / nn.adam per batch) — the interactive
     word-at-a-time path with deferred-scalar futures.  Returns
-    (ms_per_batch samples, word/scan per-rep ratio samples): when
-    scan_timer is given, each rep times the word epoch and a scan
-    epoch back-to-back in ONE tunnel window, so the ratio cancels
-    congestion drift (same methodology as the GEMM A/B pairs)."""
+    (ms_per_batch samples, word/pure-scan ratio samples, word/nn.train
+    ratio samples): when the timers are given, each rep times the word
+    epoch and the scan epochs back-to-back in ONE tunnel window, so
+    the ratios cancel congestion drift (same methodology as the GEMM
+    A/B pairs)."""
     import re
     os.environ["T4_MAX_BATCH"] = str(n_batches)
     try:
@@ -299,7 +310,7 @@ variable hit 0 hit ! variable lox
         # its ~1.2 s compile
         run("bds rewind")
         run("bm bds ep drop hit @ . 0 hit !")
-        samples, ratios = [], []
+        samples, ratios, nn_ratios = [], [], []
         for _ in range(reps):
             run("bds rewind")
             out = run('clock bm bds ep drop clock swap - ." EPMS= " . cr '
@@ -308,7 +319,9 @@ variable hit 0 hit ! variable lox
             samples.append(ms / n_batches)
             if scan_timer is not None:
                 ratios.append(samples[-1] / scan_timer())
-        return samples, ratios
+            if nn_timer is not None:
+                nn_ratios.append(samples[-1] / nn_timer())
+        return samples, ratios, nn_ratios
     finally:
         os.environ.pop("T4_MAX_BATCH", None)
 
@@ -479,7 +492,7 @@ def main():
             details["gemm3_f32_strict_spread"] = fs
             headline = hm
 
-    ms_steps, sps_epoch, scan_timer = bench_mnist()
+    ms_steps, sps_epoch, scan_timer, nn_timer = bench_mnist()
     m, s = _med_spread(ms_steps, 3)
     details["mnist_cnn_ms_per_batch100_med"] = m
     details["mnist_cnn_ms_per_batch100_spread"] = s
@@ -497,7 +510,8 @@ def main():
     details["tunnel_dispatch_floor_ms_med"] = fl
     details["tunnel_dispatch_floor_spread"] = fs
 
-    wb, wr = bench_word_epoch(scan_timer=scan_timer)
+    wb, wr, wn = bench_word_epoch(scan_timer=scan_timer,
+                                  nn_timer=nn_timer)
     m, s = _med_spread(wb, 3)
     details["word_epoch_ms_per_batch100_med"] = m
     details["word_epoch_ms_per_batch100_spread"] = s
@@ -513,13 +527,13 @@ def main():
         rm, rs = _med_spread(wr, 2)
         details["word_vs_scan_epoch_ratio"] = rm
         details["word_vs_scan_epoch_ratio_spread"] = rs
-    # nn.train-style ratio: against the epoch-mode sps loop above
-    # (64-batch epochs, per-epoch loss readback — how nn.train is
-    # actually driven from the REPL)
-    scan_sps = details.get("mnist_cnn_epoch_mode_samples_per_sec_med", 0)
-    if scan_sps:
-        details["word_vs_nn_train_epoch_ratio"] = round(
-            m / (100e3 / scan_sps), 2)
+    if wn:
+        # nn.train-style ratio: one epoch + its loss readback per rep,
+        # interleaved in the same window (how nn.train is actually
+        # driven from the REPL — the VERDICT r2 item-2 comparison)
+        nm, ns = _med_spread(wn, 2)
+        details["word_vs_nn_train_epoch_ratio"] = nm
+        details["word_vs_nn_train_epoch_ratio_spread"] = ns
 
     try:
         lm = bench_serving()
