@@ -234,6 +234,43 @@ def _repl():
     return inst, run
 
 
+def bench_word_matmul_large(reps: int = 5):
+    """the reference README's other `@` loop (README.md:163-188):
+    [1024,2048]@[2048,512] x1000 -> 3.584 s total on GTX 1660, ~3.6
+    ms/loop.  Returns ms/cycle samples."""
+    import re
+    _, run = _repl()
+    run("0 trace\n1024 2048 matrix rand 2048 512 matrix ones")
+    run(': mxl dup >r clock >r for @ drop next clock r> - r> 1+ / '
+        '." => " . ."  msec/cycle" cr ;')
+    print("[bench] word-path large-mx warmup ...", file=sys.stderr,
+          flush=True)
+    run("99 mxl")                                   # compile + warm
+    samples = []
+    for _ in range(reps):
+        out = run("999 mxl")
+        samples.append(
+            float(re.search(r"=> ([-+\d.eE]+) ", out).group(1)))
+    return samples
+
+
+def bench_eforth_loop(reps: int = 5):
+    """the reference's eForth interpreter benchmark (src/ten4.cu:7-20):
+    nested FOR/NEXT loops, pure host interpretation.  10K x 1K = 10M
+    inner iterations per rep; reference host-mode v4: 7.8 M-loops/sec.
+    Returns M-loops/sec samples."""
+    _, run = _repl()
+    run(": inner 999 for 34 drop next ;")
+    run(": outer 9999 for inner next ;")
+    run("outer")                                    # warm
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run("outer")
+        samples.append(10.0 / (time.perf_counter() - t0))
+    return samples
+
+
 def bench_dispatch_floor(n: int = 999, reps: int = 5):
     """per-dispatch submit cost of the tunneled device: n chained
     TRIVIAL jitted ops (8x128 add) dispatched back-to-back, one sync at
@@ -509,6 +546,14 @@ def main():
     fl, fs = _med_spread(bench_dispatch_floor(), 4)
     details["tunnel_dispatch_floor_ms_med"] = fl
     details["tunnel_dispatch_floor_spread"] = fs
+    m, s = _med_spread(bench_word_matmul_large(), 4)
+    details["word_mx_large_ms_per_cycle_med"] = m
+    details["word_mx_large_ms_per_cycle_spread"] = s
+    details["word_mx_large_vs_gtx1660_3.6ms"] = round(3.6 / m, 2)
+    m, s = _med_spread(bench_eforth_loop(), 1)
+    details["eforth_mloops_per_sec_med"] = m
+    details["eforth_mloops_per_sec_spread"] = s
+    details["eforth_vs_ref_hostmode_7.8"] = round(m / 7.8, 2)
 
     wb, wr, wn = bench_word_epoch(scan_timer=scan_timer,
                                   nn_timer=nn_timer)
