@@ -145,6 +145,7 @@ class Model:
         return self.data[i if i >= 0 else self.numel + i]
 
     def npush(self, t: Tensor) -> "Model":
+        self.fuse_break()             # topology mutation: drain any chunk
         self.data.append(t)
         if self.numel >= Config.NET_SZ:
             from ..system import System
@@ -173,6 +174,7 @@ class Model:
     # layer factory (reference Model::add, model.cpp:83-310)
     # =========================================================================
     def add(self, fn: int, n: int = 0, bias: float = 0.0, opt=None) -> "Model":
+        self.fuse_break()             # topology mutation: drain any chunk
         t_in = self[-1]
         if t_in.grad_fn is not None:
             return self
@@ -762,6 +764,11 @@ class Model:
             "loss_op": loss_op, "opt": opt, "hyper": hyper,
             "args": (params, dws, dbs, ms, vs), "keys": keys,
             "seeds": seeds,
+            # snapshot everything replay needs at DISPATCH time so a
+            # topology mutation while the chunk dangles can't make
+            # _chunk_abort rebuild the program against stale state
+            "prog": prog, "ndivs": self._ndivs(),
+            "in_shape": tuple(self[0].shape),
         }
         self._serve_chunk_cycle()
         return True
@@ -840,14 +847,14 @@ class Model:
         j, stage = ck["j"], ck["stage"]
         if j == 0 and stage == "idle":
             return                    # nothing served — pure discard
-        prog = self._program()
-        params, dws, dbs, ms, vs = ck["args"]
+        prog = ck["prog"]             # dispatch-time snapshot, NOT the
+        params, dws, dbs, ms, vs = ck["args"]  # (possibly mutated) live one
         inp, b, pos0 = ck["ds"], ck["batch"], ck["pos0"]
         cp = inp._corpus
         fn = funcs.get_fused_cycle_ds(
             prog, bool(self.train), ck["loss_op"], ck["opt"],
-            self._ndivs(), b, float(inp._mean), float(inp._scale),
-            tuple(self[0].shape))
+            ck["ndivs"], b, float(inp._mean), float(inp._scale),
+            ck["in_shape"])
         hy = tuple(_jf32(h) for h in ck["hyper"])
         zflat = None
         for i in range(j):            # replay the COMPLETE cycles

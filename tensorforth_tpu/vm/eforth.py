@@ -27,6 +27,7 @@ class ForthVM(VM):
         self.dict: Dictionary = sys.mu.dict
         self.pmem.set_base(vm_id, 10)
         self._engine = None          # native inner interpreter (csrc/t4core)
+        self._qdo_marks = []         # compile-time do/?do pairing for `loop`
 
     # --- base (radix) stored in pmem user area ----------------------------
     @property
@@ -550,13 +551,24 @@ class ForthVM(VM):
         IMMD("aft", _aft)
         def _do(vm):
             vm.add_p(Prim.DO); vm.PUSH(np.float32(vm.HERE))
+            vm._qdo_marks.append(None)    # pair marker for `loop` (?do)
         IMMD("do", _do)
         CODE("i", lambda vm: vm.PUSH(vm.rs[-1]))
         def _leave(vm):
             vm.rs.pop(); vm.rs.pop()
             vm.ip = int(float(vm.rs.pop()))
         CODE("leave", _leave)
-        IMMD("loop", lambda vm: vm.add_p(Prim.LOOP, vm.POPi()))
+        def _loop(vm):                 # closes both do and ?do
+            vm.add_p(Prim.LOOP, vm.POPi())
+            qa = vm._qdo_marks.pop() if vm._qdo_marks else None
+            if qa is not None:         # ?do: emit the skip-path tail
+                h = vm.HERE
+                vm.add_p(Prim.BRAN)    # normal exit jumps the drops
+                vm.SETJMP(qa)          # Lskip: discard limit start
+                drop = vm.dict.find("drop")
+                vm.add_w(drop); vm.add_w(drop)
+                vm.SETJMP(h)           # Lend
+        IMMD("loop", _loop)
         # --- return stack ----------------------------------------------------------------
         CODE(">r", lambda vm: vm.rs.push(vm.POP()))
         CODE("r>", lambda vm: vm.PUSH(vm.rs.pop()))
@@ -725,11 +737,52 @@ class ForthVM(VM):
             vm.state = VMState.STOP
         CODE("bye", _bye)
         CODE("boot", lambda vm: vm.dict.clear(vm.dict.find("boot") + 1))
-        # no-op stubs the reference registers without bodies
-        # (eforth.cpp:422-427) — present so `words` output matches and
-        # scripts using them parse silently
-        for stub in ("power", "?do", "roll", "within"):
-            CODE(stub, lambda vm: None)
+        # --- the reference's #if 0 TODO words ------------------------------
+        # (eforth.cpp:422-429 declares power/?do/roll/within but compiles
+        # them out).  Like u< u> above, we realize the TODO list instead
+        # of stubbing: silent no-ops would make scripts wrong, and the
+        # unknown-word error would reject standard Forth.
+        def _power(vm):                # ( a b -- a^b ) scalar float pow
+            t = vm._rtos(); n = vm._rnos()
+            try:
+                r = math.pow(n, t)
+            except (ValueError, OverflowError):
+                r = float("nan")       # neg base + frac exp, like jnp.power
+            vm.tos = SCALAR(np.float32(r))
+        CODE("power", _power)
+        def _within(vm):               # ( n lo hi -- f )  lo <= n < hi
+            hi = vm._rtos(); lo = vm._rnos(); n = vm._rnos()
+            vm._setb(not LT(n, lo) and LT(n, hi))
+        CODE("within", _within)
+        def _roll(vm):                 # ( xu..x0 u -- xu-1..x0 xu )
+            u = vm.POPi()
+            ss = vm.ss
+            if u <= 0 or ss.size() < u:
+                return                 # 0 roll / underflow: no-op
+            a, b = ss.idx - u, ss.idx
+            xu = np.float32(ss.buf[a])
+            ss.buf[a:b - 1] = ss.buf[a + 1:b].copy()
+            ss.buf[b - 1] = vm.tos     # x0 joins the stack body
+            vm.tos = xu
+        CODE("roll", _roll)
+        # ?do ( limit start -- ) skips the body when start >= limit (the
+        # entry form of LOOP's float continue test, limit-v > DU_EPS).
+        # Compiled entirely from existing prims so the native inner
+        # interpreter (csrc/t4core.cpp) runs it untouched:
+        #   over over > ZBRAN->Lskip DO Lbody: ... LOOP->Lbody
+        #   BRAN->Lend Lskip: drop drop Lend:
+        # `loop` (redefined below) emits the tail when closing a ?do;
+        # the pending ZBRAN patch address rides a compile-time side
+        # stack (vm._qdo) so nesting and plain do/loop coexist.
+        def _qdo(vm):
+            for nm in ("over", "over", ">"):
+                vm.add_w(vm.dict.find(nm))
+            qa = vm.HERE
+            vm.add_p(Prim.ZBRAN)       # patched to Lskip by `loop`
+            vm.add_p(Prim.DO)
+            vm.PUSH(np.float32(vm.HERE))
+            vm._qdo_marks.append(qa)
+        IMMD("?do", _qdo)
 
         # --- native inner-interpreter dispatch table -----------------------
         # record base (scalar) definitions for the C engine; later tiers'

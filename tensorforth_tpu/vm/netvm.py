@@ -654,6 +654,7 @@ class NetVM(TensorVM):
             dsv = vm.POP()
             ds = vm.mmu.du2obj(dsv)
             m = vm.MTOS()
+            m.chunk_sync()       # params must reflect any in-flight chunk
             from ..parallel.pipeline import train_pipeline
             loss = train_pipeline(m, ds, lr=lr, epochs=epochs,
                                   stages=stages, trace=vm.sys.trace)
@@ -687,6 +688,7 @@ class NetVM(TensorVM):
             tv = vm.POP()
             t = vm.mmu.du2obj(tv)
             m = vm.MTOS()
+            m.chunk_sync()       # generate() reads _params(): drain chunk
             from ..nn.serve import generate
             # a matrix prompt [N, S0] decodes N sequences in one program
             ids = t.numpy().reshape(t.H(), t.W()) if t.rank == 2 \

@@ -90,14 +90,14 @@ def test_see_and_words(t4):
     assert "dup" in out and "nn.model" in out
 
 
-def test_reference_noop_stubs(t4):
-    """the reference registers power/?do/roll/within as bodiless stubs
-    (eforth.cpp:422-427): they must list in `words` and parse silently"""
+def test_reference_todo_words_registered(t4):
+    """power/?do/roll/within sit in the reference's #if 0 TODO block
+    (eforth.cpp:422-429 — NOT registered there); we implement them for
+    real (r4), extending `words` like the u< u> precedent.  Behavior
+    is pinned in tests/test_eforth2.py"""
     out = t4.forth("words")
-    for stub in ("power", "?do", "roll", "within"):
-        assert stub in out, f"{stub} missing from words"
-    out = t4.forth("abort 1 2 power roll within .s")
-    assert "2" in out and "Unknown" not in out
+    for w in ("power", "?do", "roll", "within"):
+        assert w in out, f"{w} missing from words"
 
 
 def test_rstack(t4):
