@@ -203,6 +203,31 @@ class ForthVM(VM):
         self.sys.perr("", "TOS is not a network model? ")
         return 0
 
+    def _plus_into(self, i: int, addend):
+        """`+!` core (shared with the trace-chunk macro serve): keep the
+        accumulation ON DEVICE and LAZY — `nn.hit hit +!` epoch counters
+        cost zero dispatches per batch (the addend chain collapses into
+        one stacked device sum on first host read)"""
+        cell = self.pmem.rd_du(i)
+        fc, fa = self.future_of(cell), self.future_of(addend)
+        if fc is not None or fa is not None:
+            parts = []
+            for du, f in ((cell, fc), (addend, fa)):
+                if f is None:
+                    parts.append(float(du))
+                elif f.pending is not None:
+                    parts.extend(f.pending)
+                else:
+                    parts.append(f.data)
+            nf = self.mmu.future(None, pending=parts)
+            self.pmem.wr_du(i, self.mmu.obj2du(nf))
+            for old in (cell, addend):
+                if self.future_of(old) is not None and not IS_VIEW(old):
+                    self.mmu.mark_free(old)
+        else:
+            v = SCALAR(np.float32(float(cell) + float(addend)))
+            self.pmem.wr_du(i, v)
+
     # ======================================================================
     # compiler helpers
     # ======================================================================
@@ -646,33 +671,7 @@ class ForthVM(VM):
         def _cstore(vm):
             i = vm.POPi(); vm.pmem.wr_u8(i, vm.POPi())
         CODE("c!", _cstore)
-        def _plus_store(vm):
-            i = vm.POPi()
-            cell = vm.pmem.rd_du(i)
-            addend = vm.POP()
-            fc, fa = vm.future_of(cell), vm.future_of(addend)
-            if fc is not None or fa is not None:
-                # keep the accumulation ON DEVICE and LAZY — `nn.hit
-                # hit +!` epoch counters cost zero dispatches per batch
-                # (the addend chain collapses into one stacked device
-                # sum on first host read)
-                parts = []
-                for du, f in ((cell, fc), (addend, fa)):
-                    if f is None:
-                        parts.append(float(du))
-                    elif f.pending is not None:
-                        parts.extend(f.pending)
-                    else:
-                        parts.append(f.data)
-                nf = vm.mmu.future(None, pending=parts)
-                vm.pmem.wr_du(i, vm.mmu.obj2du(nf))
-                for old in (cell, addend):
-                    if vm.future_of(old) is not None and not IS_VIEW(old):
-                        vm.mmu.mark_free(old)
-            else:
-                v = SCALAR(np.float32(float(cell) + float(addend)))
-                vm.pmem.wr_du(i, v)
-        CODE("+!", _plus_store)
+        CODE("+!", lambda vm: vm._plus_into(vm.POPi(), vm.POP()))
         def _question(vm):
             # print a VIEW: `?` must not free the stored object
             i = vm.POPi(); vm._print(IoOp.DOT, vm.DUP_DU(vm.pmem.rd_du(i)))

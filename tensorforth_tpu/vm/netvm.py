@@ -233,9 +233,194 @@ class NetVM(TensorVM):
             self.DROP_DU(v)
             m.tick()
         else:
+            end = self.ip - 4            # the NEXT cell: loop body ends here
             d.fetch(None, 0, self.sys.trace)
             self.ip = ioff
+            if m._chunk is not None:
+                self._macro_serve(m, d, ioff, end)
         return 1
+
+    # --- trace-chunk macro serve (VERDICT r3 #1) ------------------------------
+    # The canonical training cycle's per-batch words (`forward loss.ce
+    # lox ! nn.hit hit +! backprop 0.001 nn.adam`) are, while a K-batch
+    # trace chunk is in flight, pure host bookkeeping: stage advances,
+    # pre-computed LazyIdx futures, variable stores, lazy-sum appends.
+    # Executing them word-at-a-time costs ~8 interpreter dispatches
+    # (~0.7 ms) per batch — 3x the pure-scan floor on the tunnel.
+    # Instead, at the dataset-aware NEXT we decode the loop body ONCE
+    # per (ioff, end) range; when it matches the canonical grammar we
+    # serve every remaining chunk batch in one tight loop (zero
+    # interpreter dispatch per batch) with byte-identical semantics —
+    # same future objects, same mark_free order, same RNG burn, same
+    # _cycle/_note_opt bookkeeping.  The final chunk batch is left to
+    # the interpreter so tensor state materializes through the normal
+    # `_chunk_fwd`/`_chunk_apply_last` path; any body that does not
+    # match (extra words, non-literal hypers, `hint` printers) simply
+    # keeps the per-word path.  Reference analog: the hot loop is
+    # nest() dispatching straight into kernels with no interpreter tax
+    # (src/vm/eforth.cpp:81-137).  Disable with T4_NO_MACRO=1.
+    def _body_plan(self, ioff: int, end: int):
+        """decode + pattern-match the loop body [ioff, end); returns
+        (actions, n_vals, val_addrs, opt_word, raw_bytes) or None.
+        actions: ("loss", op, sink, addr) / ("hit", sink, addr) with
+        sink in {"store", "plus", "drop"}"""
+        from .pmem import Prim, ALIGN, IU_SZ, DU_SZ
+        cache = getattr(self, "_mplan_cache", None)
+        if cache is None:
+            cache = self._mplan_cache = {}
+        raw = bytes(self.pmem.buf[ioff:end])
+        hit = cache.get((ioff, end))
+        if hit is not None and hit[1] == raw:
+            return hit[0]
+        toks = []
+        a = ioff
+        ok = True
+        while a < end:
+            p = self.pmem.rd_param(a)
+            a += IU_SZ
+            if p.op == Prim.LIT and not p.exit:
+                toks.append(("val", a))
+                a += DU_SZ
+            elif p.op >= Prim.MAX_OP and not p.udf:
+                if p.ioff >= len(self.dict):
+                    ok = False
+                    break
+                toks.append(("word", self.dict[p.ioff].name))
+            elif p.op >= Prim.MAX_OP and p.udf:
+                t = self.pmem.rd_param(p.ioff)
+                if t.op == Prim.VAR and t.ioff == 0:
+                    toks.append(("addr", ALIGN(p.ioff + IU_SZ)))
+                elif t.op == Prim.LIT and t.exit:
+                    toks.append(("val", p.ioff + IU_SZ))
+                else:
+                    ok = False
+                    break
+            else:
+                ok = False
+                break
+        plan = self._match_plan(toks) if ok and a == end else None
+        cache[(ioff, end)] = (plan, raw)
+        if len(cache) > 64:
+            cache.pop(next(iter(cache)))
+        return plan
+
+    @staticmethod
+    def _match_plan(toks):
+        """grammar: forward (metric sink)* backprop val{1,2} opt"""
+        n = len(toks)
+        if n < 3 or toks[0] != ("word", "forward"):
+            return None
+        actions, i = [], 1
+        while i < n and toks[i][0] == "word" and (
+                toks[i][1].startswith("loss.") or toks[i][1] == "nn.hit"):
+            kind = ("hit",) if toks[i][1] == "nn.hit" \
+                else ("loss", toks[i][1][5:])
+            i += 1
+            if i < n and toks[i] == ("word", "drop"):
+                actions.append(kind + ("drop", 0))
+                i += 1
+            elif (i + 1 < n and toks[i][0] == "addr"
+                    and toks[i + 1][0] == "word"
+                    and toks[i + 1][1] in ("!", "+!")):
+                sink = "store" if toks[i + 1][1] == "!" else "plus"
+                actions.append(kind + (sink, toks[i][1]))
+                i += 2
+            else:
+                return None
+        if i >= n or toks[i] != ("word", "backprop"):
+            return None
+        i += 1
+        vals = []
+        while i < n and toks[i][0] == "val" and len(vals) < 2:
+            vals.append(toks[i][1])
+            i += 1
+        if not vals or i != n - 1 or toks[i][0] != "word" \
+                or toks[i][1] not in ("nn.sgd", "nn.adam", "nn.adamw"):
+            return None
+        return (tuple(actions), tuple(vals), toks[i][1])
+
+    def _plan_opt(self, plan):
+        """(opt, hyper) the plan's optimizer call will produce — the
+        arity mirror of Model.sgd/adam/adamw + the M1V/M2V dispatch
+        (with one value on top of the model M2V can never hold)"""
+        _actions, vals, optw = plan
+        v = [float(self.pmem.rd_du(a)) for a in vals]
+        if optw == "nn.sgd":
+            lr, b = (v[0], 0.0) if len(v) == 1 else (v[0], v[1])
+            eps = Config.DU_EPS
+            return ("sgdm" if abs(b) > eps else "sgd", (lr, b, 0.0, 0.0))
+        if optw == "nn.adam":
+            lr, b1 = (v[0], 0.9) if len(v) == 1 else (v[0], v[1])
+            return ("adam", (lr, b1, 0.999, 0.0))
+        lr, wd = (v[0], 0.01) if len(v) == 1 else (v[0], v[1])
+        return ("adamw", (lr, 0.9, 0.999, wd))
+
+    def _macro_serve(self, m: Model, d, ioff: int, end: int):
+        import os
+        if os.environ.get("T4_NO_MACRO", "0") == "1":
+            return
+        ck = m._chunk
+        if ck is None or ck["stage"] != "idle" or ck["ds"] is not d \
+                or ck["j"] >= ck["k"] - 1:
+            return
+        plan = self._body_plan(ioff, end)
+        if plan is None:
+            return
+        try:
+            opt, hyper = self._plan_opt(plan)
+        except Exception:
+            return
+        if opt != ck["opt"] or hyper != ck["hyper"]:
+            return
+        for act in plan[0]:
+            if act[0] == "loss" and act[1] != ck["loss_op"]:
+                return
+        from ..mu.future import LazyIdx
+        mmu, pm, sys_ = self.mmu, self.pmem, self.sys
+        n_loss = sum(1 for act in plan[0] if act[0] == "loss")
+        cyc = ["fwd_ds"] + [f"loss:{ck['loss_op']}"] * n_loss + ["bwd"]
+        while m._chunk is ck and ck["stage"] == "idle":
+            j = ck["j"]
+            if j >= ck["k"] - 1 or d.done:
+                break
+            spec = d._fetch_spec
+            if spec is None or int(spec) != ck["pos0"] + j * ck["batch"]:
+                break
+            if ck["seeds"] is not None:
+                if sys_.peek_keys(1)[0] != ck["seeds"][j]:
+                    break             # stray RNG consumer: per-word path
+                sys_.next_key()       # the seed this forward burns
+                m._fwd_seed = ck["seeds"][j]
+            else:
+                m._fwd_seed = None
+            d._fetch_spec = None
+            for act in plan[0]:
+                if act[0] == "loss":
+                    f = mmu.future(LazyIdx(ck["lvals"], j))
+                    sink, addr = act[2], act[3]
+                else:
+                    f = mmu.future(LazyIdx(ck["hits"], j))
+                    sink, addr = act[1], act[2]
+                du = mmu.obj2du(f)
+                if sink == "store":
+                    old = pm.rd_du(addr)
+                    pm.wr_du(addr, du)
+                    if self.future_of(old) is not None \
+                            and not IS_VIEW(old):
+                        mmu.mark_free(old)
+                elif sink == "plus":
+                    self._plus_into(addr, du)
+                else:
+                    mmu.mark_free(du)
+            m._hit = LazyIdx(ck["hits"], j)
+            m._pending = None
+            m._iter += 1
+            ck["j"] = j + 1
+            m._fuse_hits += 1
+            m._cycle = list(cyc)
+            m._note_opt(ck["opt"], ck["hyper"])
+            self._macro_count = getattr(self, "_macro_count", 0) + 1
+            d.fetch(None, 0, 0)       # the NEXT: stage batch j+1
 
     # --- parameter access (reference netvm.cpp:157-193) ----------------------
     def _get_parm(self, n: int):
