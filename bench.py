@@ -350,10 +350,16 @@ variable hit 0 hit ! variable lox
         samples, ratios, nn_ratios = [], [], []
         for _ in range(reps):
             run("bds rewind")
-            out = run('clock bm bds ep drop clock swap - ." EPMS= " . cr '
+            # TWO epochs per clock window, ONE barrier — the same
+            # readback amortization scan_ms_per_batch uses (it times 2
+            # scan epochs + one float()).  The closing sync is one
+            # ~28-45 ms tunnel RTT; at one epoch per window it was 45%
+            # of the word time and dominated the ratio.
+            out = run('clock bm bds ep drop bds rewind drop '
+                      'bm bds ep drop clock swap - ." EPMS= " . cr '
                       'hit @ . 0 hit !')
             ms = float(re.search(r"EPMS= ([-+\d.eE]+) ", out).group(1))
-            samples.append(ms / n_batches)
+            samples.append(ms / (2 * n_batches))
             if scan_timer is not None:
                 ratios.append(samples[-1] / scan_timer())
             if nn_timer is not None:

@@ -16,6 +16,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <csignal>
+#include <csetjmp>
+#include <cstdio>
 
 extern "C" {
 
@@ -63,6 +66,90 @@ enum { P_EXIT=0, P_NEXT, P_LOOP, P_LIT, P_VAR, P_STR, P_DOTQ,
 enum { ST_STOP=0, ST_HOLD, ST_QUERY, ST_NEST };
 
 static const double DU_EPS = 1.0e-6;
+
+// ---- crash containment ------------------------------------------------------
+// Reference analog: src/ten4.cu:258-272 traps SIGSEGV, reports the
+// faulting address and resets the device (then exits).  Here we go one
+// better: a fault inside the NATIVE ENGINE's own C code longjmps back
+// to the t4_nest/t4_outer entry, the current line is aborted and the
+// VM returns to QUERY — the REPL survives.  Faults raised while a
+// Python callback is on the stack are NOT ours to catch (longjmp over
+// CPython frames would corrupt the interpreter): the handler
+// reinstalls the previous disposition and re-raises.  Thread-safe:
+// the jmp target is a thread-local pointer into the guarded frame
+// (multi-VM task threads each guard their own nest).
+enum { PYF_FAULT = 4 };                 // py_flags bit2: python resets
+
+static __thread sigjmp_buf *t4_jb = 0;  // armed only inside engine C code
+static struct sigaction t4_prev[2];     // previous SEGV/BUS dispositions
+static int t4_trap_on = 0;
+
+static void t4_fault_handler(int sig, siginfo_t *si, void *) {
+    sigjmp_buf *jb = t4_jb;
+    if (jb) {
+        t4_jb = 0;
+        siglongjmp(*jb, sig);           // unwind to the engine entry
+    }
+    // not in engine C code (python/JAX frame, foreign thread): restore
+    // the previous disposition and let the fault take its course
+    sigaction(sig, &t4_prev[sig == SIGBUS ? 1 : 0], 0);
+    raise(sig);
+}
+
+static void t4_trap_install(void) {
+    if (t4_trap_on) return;
+    struct sigaction sa;
+    memset(&sa, 0, sizeof(sa));
+    sigemptyset(&sa.sa_mask);
+    sa.sa_sigaction = t4_fault_handler;
+    sa.sa_flags = SA_SIGINFO | SA_NODEFER;
+    sigaction(SIGSEGV, &sa, &t4_prev[0]);
+    sigaction(SIGBUS,  &sa, &t4_prev[1]);
+    t4_trap_on = 1;
+}
+
+static void t4_faulted(T4VM *vm, int sig) {
+    fprintf(stderr, "t4core: fatal signal %d trapped in native engine "
+                    "— line aborted, VM reset to QUERY\n", sig);
+    vm->ip = 0;
+    vm->state = ST_QUERY;
+    vm->compile = 0;
+    vm->py_flags |= PYF_FAULT;          // python clears stacks + reports
+}
+
+// RAII-ish guard: arm = point t4_jb at the caller's frame-local buf,
+// remembering the outer one (nest can re-enter through callbacks)
+struct T4Guard {
+    sigjmp_buf *prev;
+    sigjmp_buf  jb;
+};
+static inline void guard_arm(T4Guard *g)    { g->prev = t4_jb; t4_jb = &g->jb; }
+static inline void guard_drop(T4Guard *g)   { t4_jb = g->prev; }
+// callbacks run python: disarm around them, re-arm after
+static inline void guarded_cb(T4Guard *g, t4_cb cb, int32_t x) {
+    t4_jb = g->prev;
+    cb(x);
+    t4_jb = &g->jb;
+}
+
+// deliberate-fault probe for the recovery test (tests/test_fuzz.py):
+// runs THROUGH the same guard machinery as t4_nest
+int32_t t4_crash_test(T4VM *vm, int32_t kind) {
+    t4_trap_install();
+    T4Guard g;
+    guard_arm(&g);
+    int sig = sigsetjmp(g.jb, 1);
+    if (sig) {
+        guard_drop(&g);
+        t4_faulted(vm, sig);
+        return sig;
+    }
+    volatile int *p = (kind == 0) ? (volatile int *)0
+                                  : (volatile int *)0xdeadbeef;
+    int v = *p;                         // boom
+    guard_drop(&g);
+    return v;                           // unreachable
+}
 
 // ---- tagged-DU helpers ----------------------------------------------------
 static inline uint32_t f2u(float f) { uint32_t u; memcpy(&u, &f, 4); return u; }
@@ -255,7 +342,8 @@ static void native_word(T4VM *vm, int id) {
 // table: int16 per dictionary index (>=0 native id, -1 python callback,
 //        -2 udf colon word)
 // cb(widx): execute python word widx; cb(-1): dataset-aware NEXT
-int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
+static int32_t t4_nest_body(T4VM *vm, const int16_t *table,
+                            int32_t table_len, t4_cb cb, T4Guard *G) {
     vm->state = ST_NEST;
     uint8_t *pm = vm->pmem;
     while (vm->ip && vm->state == ST_NEST) {
@@ -285,7 +373,7 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
             if (is_obj(vm->tos) && vm->rs_idx > 0 &&
                 is_obj(vm->rs[vm->rs_idx - 1])) {
                 vm->ip -= 4;            // let python re-read the param
-                cb(-1);                 // dataset-aware NEXT
+                guarded_cb(G, cb, -1);                 // dataset-aware NEXT
             }
             else {
                 float v = vm->rs[vm->rs_idx - 1] - 1.0f;
@@ -313,13 +401,13 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
             break;
         case P_DOTQ:
             vm->ip -= 4;
-            cb(-2);                     // python prints the string
+            guarded_cb(G, cb, -2);                     // python prints the string
             break;
         case P_BRAN: vm->ip = (int32_t)ioff; break;
         case P_ZBRAN:
             if (is_obj(vm->tos)) {      // flag is an object (e.g. a
                 vm->ip -= 4;            // deferred scalar) — python
-                cb(-4);                 // resolves and branches
+                guarded_cb(G, cb, -4);                 // resolves and branches
             }
             else if (std::fabs((double)pop(vm)) < DU_EPS)
                 vm->ip = (int32_t)ioff;
@@ -327,7 +415,7 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
         case P_FOR:
             if (is_obj(vm->tos)) {      // future count (or dataset) —
                 vm->ip -= 4;            // python resolves/pushes
-                cb(-5);
+                guarded_cb(G, cb, -5);
             }
             else rpush(vm, pop(vm));
             break;
@@ -335,7 +423,7 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
             if (is_obj(vm->tos) ||
                 (vm->ss_idx > 0 && is_obj(vm->ss[vm->ss_idx - 1]))) {
                 vm->ip -= 4;
-                cb(-6);
+                guarded_cb(G, cb, -6);
             }
             else {                      // rs.push(ss.pop()); rs.push(POP())
                 rpush(vm, spop(vm));    // limit (NOS)
@@ -345,7 +433,7 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
             break;
         case P_KEY:
             vm->ip -= 4;
-            cb(-3);
+            guarded_cb(G, cb, -3);
             break;
         default: {                      // dictionary call
             if (udf) {
@@ -367,12 +455,27 @@ int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
                       vm->ss_idx > 1 && is_obj(vm->ss[vm->ss_idx - 2]))))
                     nid = -1;
                 if (nid >= 0) native_word(vm, nid);
-                else cb((int32_t)ioff);
+                else guarded_cb(G, cb, (int32_t)ioff);
             }
         } break;
         }
     }
     return vm->state;
+}
+
+int32_t t4_nest(T4VM *vm, const int16_t *table, int32_t table_len, t4_cb cb) {
+    t4_trap_install();
+    T4Guard g;
+    guard_arm(&g);
+    int sig = sigsetjmp(g.jb, 1);
+    if (sig) {
+        guard_drop(&g);
+        t4_faulted(vm, sig);
+        return vm->state;
+    }
+    int32_t r = t4_nest_body(vm, table, table_len, cb, &g);
+    guard_drop(&g);
+    return r;
 }
 
 // ---- outer interpreter ------------------------------------------------------
@@ -442,8 +545,9 @@ static void compile_cell(T4VM *vm, uint32_t u) {
     vm->here += 4;
 }
 
-int32_t t4_outer(T4VM *vm, const T4Dict *dict,
-                 const int16_t *table, int32_t table_len, t4_cb cb) {
+static int32_t t4_outer_body(T4VM *vm, const T4Dict *dict,
+                 const int16_t *table, int32_t table_len, t4_cb cb,
+                 T4Guard *G) {
     int start, tlen;
     while (next_token(vm, &start, &tlen)) {
         const char *tok = vm->in + start;
@@ -475,8 +579,9 @@ int32_t t4_outer(T4VM *vm, const T4Dict *dict,
                       vm->ss_idx > 1 && is_obj(vm->ss[vm->ss_idx - 2]))))
                     nid = -1;
                 if (nid >= 0) native_word(vm, nid);
-                else cb(w);                             // python word
+                else guarded_cb(G, cb, w);                             // python word
             }
+            if (vm->py_flags & PYF_FAULT)  return OUT_DONE;  // abort line
             if (vm->state == ST_HOLD) return OUT_HOLD;
             if (vm->py_flags & PYF_TENLVL) return OUT_REENTER;
             if (vm->py_flags & PYF_DIRTY)  return OUT_REENTER;
@@ -503,6 +608,22 @@ int32_t t4_outer(T4VM *vm, const T4Dict *dict,
         return OUT_TOKEN;
     }
     return OUT_DONE;
+}
+
+int32_t t4_outer(T4VM *vm, const T4Dict *dict,
+                 const int16_t *table, int32_t table_len, t4_cb cb) {
+    t4_trap_install();
+    T4Guard g;
+    guard_arm(&g);
+    int sig = sigsetjmp(g.jb, 1);
+    if (sig) {
+        guard_drop(&g);
+        t4_faulted(vm, sig);
+        return OUT_DONE;
+    }
+    int32_t r = t4_outer_body(vm, dict, table, table_len, cb, &g);
+    guard_drop(&g);
+    return r;
 }
 
 }  // extern "C"

@@ -796,21 +796,39 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
             one_h = jnp.reshape(st0[5], (1,))
             return one_l, one_h, st0
 
+        # Only the optimizer thread (weights, moments) rides the scan
+        # carry; the full word stash (activations, masks, gradients) is
+        # materialized ONLY for the final batch, unrolled after the
+        # scan.  Carrying the whole stash cost ~0.51 ms/batch of device
+        # time vs the bare nn.train scan's 0.33 (r4 measurement) — the
+        # dead per-iteration stash writes were 60% overhead.  Post-
+        # batch-0 grad accumulators are always the zeroed constants
+        # (the optimizer zeroes after each step), so they close over
+        # the body instead of riding the carry.
+        zdws0 = tuple(jnp.zeros_like(dws[j]) if params[j] else dws[j]
+                      for j in range(len(program)))
+        zdbs0 = tuple(jnp.zeros_like(dbs[j]) if params[j] else dbs[j]
+                      for j in range(len(program)))
+
         def body(carry, xs):
             i, key_i = xs
-            st = carry
-            params_i = _scatter_params(program, params, st[11])
-            dws_i, dbs_i = _scatter_zeroed_grads(program, params,
-                                                 dws, dbs, st[14])
-            st2 = one(pos0 + i * batch, key_i, params_i, dws_i, dbs_i,
-                      st[12], st[13])
-            return st2, (st2[6], st2[5])
+            nws_f, nms_c, nvs_c = carry
+            params_i = _scatter_params(program, params, nws_f)
+            st = one(pos0 + i * batch, key_i, params_i, zdws0, zdbs0,
+                     nms_c, nvs_c)
+            return (st[11], st[12], st[13]), (st[6], st[5])
 
-        last, (ls, hs) = jax.lax.scan(body, st0,
-                                      (jnp.arange(1, k_batches),
-                                       keys[1:]))
-        lvals = jnp.concatenate([jnp.reshape(st0[6], (1,)), ls])
-        hits = jnp.concatenate([jnp.reshape(st0[5], (1,)), hs])
+        carry, (ls, hs) = jax.lax.scan(
+            body, (st0[11], st0[12], st0[13]),
+            (jnp.arange(1, k_batches - 1), keys[1:k_batches - 1]))
+        nws_f, nms_c, nvs_c = carry
+        last = one(pos0 + (k_batches - 1) * batch, keys[k_batches - 1],
+                   _scatter_params(program, params, nws_f),
+                   zdws0, zdbs0, nms_c, nvs_c)
+        lvals = jnp.concatenate([jnp.reshape(st0[6], (1,)), ls,
+                                 jnp.reshape(last[6], (1,))])
+        hits = jnp.concatenate([jnp.reshape(st0[5], (1,)), hs,
+                                jnp.reshape(last[5], (1,))])
         return lvals, hits, last
 
     return jax.jit(chunk)

@@ -330,7 +330,10 @@ def sync():
     global _last_dispatch
     if _last_dispatch is not None:
         try:
-            jax.block_until_ready(_last_dispatch)
+            # ONE round-trip: the scalar readback is itself the real
+            # barrier.  A block_until_ready first costs a SECOND ~28 ms
+            # tunnel RTT (r4 measurement: sync was 57-80 ms even with
+            # the queue already drained).
             float(jnp.ravel(_last_dispatch)[0])
         except Exception:
             pass

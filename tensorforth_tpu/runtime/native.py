@@ -338,6 +338,31 @@ class NativeEngine:
             vm.state = VMState.QUERY
         self._from_vm()
 
+    # --- crash containment (reference ten4.cu:258-272, exceeded) ---------
+    PYF_FAULT = 4
+
+    def _check_fault(self) -> bool:
+        """a SIGSEGV/SIGBUS inside the native engine longjmp'd back to
+        the t4_nest/t4_outer entry (csrc/t4core.cpp t4_fault_handler);
+        the C side already aborted the line and set QUERY — here we
+        mirror `abort` (clear stacks, leave input modes) and report, so
+        the REPL keeps going where the reference exits(1)"""
+        if not (self.st.py_flags & self.PYF_FAULT):
+            return False
+        self.st.py_flags &= ~self.PYF_FAULT
+        from ..vm.vm import VMState
+        vm = self.vm
+        vm.ss.clear()
+        vm.rs.clear()
+        vm.compile = False
+        if hasattr(vm, "ten_lvl"):
+            vm.ten_lvl = 0
+            vm._staged = None
+        vm.state = VMState.QUERY
+        self._from_vm()
+        vm.sys.perr("", "native engine fault trapped — line aborted ")
+        return True
+
     # --- entry ------------------------------------------------------------------
     def nest(self):
         from ..vm.vm import VMState
@@ -347,6 +372,7 @@ class NativeEngine:
         self.lib.t4_nest(C.byref(self.st), self._table,
                          self._table_len, self._cb)
         self._to_vm()
+        self._check_fault()
 
     # --- native outer interpreter -----------------------------------------
     OUT_DONE, OUT_HOLD, OUT_TOKEN, OUT_REENTER = 0, 1, 2, 3
@@ -390,6 +416,8 @@ class NativeEngine:
                                        self._table, self._table_len,
                                        self._cb)
                 self._to_vm()
+                if self._check_fault():
+                    break
                 if rc == self.OUT_HOLD:
                     break
                 if rc == self.OUT_REENTER:

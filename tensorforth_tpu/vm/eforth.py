@@ -52,7 +52,12 @@ class ForthVM(VM):
         if not ok:
             return False
         if self.compile:
-            self.add_lit(n)
+            try:
+                self.add_lit(n)
+            except Exception as ex:        # pmem overflow mid-definition
+                self.sys.perr("", f"ERROR in '{idiom}': {ex} ")
+                self.compile = False
+                self.state = VMState.QUERY
         else:
             self.PUSH(n)
         return True
@@ -82,18 +87,21 @@ class ForthVM(VM):
         if not w:
             return 0
         c = self.dict[w]
-        if self.compile and not c.imm:
-            self.add_w(w)
-        else:
-            self.ip = 0
-            try:
+        compiling = self.compile and not c.imm
+        try:
+            if compiling:
+                self.add_w(w)              # may raise on pmem overflow
+            else:
+                self.ip = 0
                 self.call(w)
-            except Exception as ex:        # keep the REPL alive on word errors
-                self.sys.perr("", f"ERROR in '{idiom}': {ex} ")
-                if self.sys.trace:
-                    import traceback
-                    traceback.print_exc(file=self.sys.fout)
-                self.state = VMState.QUERY
+        except Exception as ex:            # keep the REPL alive on word errors
+            self.sys.perr("", f"ERROR in '{idiom}': {ex} ")
+            if self.sys.trace:
+                import traceback
+                traceback.print_exc(file=self.sys.fout)
+            if compiling:                  # overflowed mid-definition:
+                self.compile = False       # leave compile mode coherently
+            self.state = VMState.QUERY
         return w
 
     def number(self, idiom: str):

@@ -337,6 +337,9 @@ class NetVM(TensorVM):
         if not vals or i != n - 1 or toks[i][0] != "word" \
                 or toks[i][1] not in ("nn.sgd", "nn.adam", "nn.adamw"):
             return None
+        addrs = [a[-1] for a in actions if a[-2] != "drop"]
+        if len(addrs) != len(set(addrs)):
+            return None          # two sinks on one cell: per-word path
         return (tuple(actions), tuple(vals), toks[i][1])
 
     def _plan_opt(self, plan):
@@ -377,48 +380,63 @@ class NetVM(TensorVM):
                 return
         from ..mu.future import LazyIdx
         mmu, pm, sys_ = self.mmu, self.pmem, self.sys
-        n_loss = sum(1 for act in plan[0] if act[0] == "loss")
-        cyc = ["fwd_ds"] + [f"loss:{ck['loss_op']}"] * n_loss + ["bwd"]
+        # Per-sink cached futures: batches between the first macro-served
+        # one and the chunk's last are unobservable (no word runs), so
+        # instead of the per-word path's create-then-overwrite churn (k
+        # futures per sink per chunk) each sink keeps ONE future whose
+        # LazyIdx/pending is advanced in place — end-of-chunk VALUES are
+        # identical; only internal oid allocation differs (mstat counts).
+        cached = [None] * len(plan[0])
+        seeds, lvals, hits = ck["seeds"], ck["lvals"], ck["hits"]
+        kk, pos0, bsz = ck["k"] - 1, ck["pos0"], ck["batch"]
         while m._chunk is ck and ck["stage"] == "idle":
             j = ck["j"]
-            if j >= ck["k"] - 1 or d.done:
+            if j >= kk or d.done:
                 break
             spec = d._fetch_spec
-            if spec is None or int(spec) != ck["pos0"] + j * ck["batch"]:
+            if spec is None or int(spec) != pos0 + j * bsz:
                 break
-            if ck["seeds"] is not None:
-                if sys_.peek_keys(1)[0] != ck["seeds"][j]:
+            if seeds is not None:
+                if sys_.peek_keys(1)[0] != seeds[j]:
                     break             # stray RNG consumer: per-word path
                 sys_.next_key()       # the seed this forward burns
-                m._fwd_seed = ck["seeds"][j]
+                m._fwd_seed = seeds[j]
             else:
                 m._fwd_seed = None
             d._fetch_spec = None
-            for act in plan[0]:
-                if act[0] == "loss":
-                    f = mmu.future(LazyIdx(ck["lvals"], j))
-                    sink, addr = act[2], act[3]
-                else:
-                    f = mmu.future(LazyIdx(ck["hits"], j))
-                    sink, addr = act[1], act[2]
-                du = mmu.obj2du(f)
+            for i, act in enumerate(plan[0]):
+                vec = lvals if act[0] == "loss" else hits
+                sink, addr = act[-2], act[-1]
+                f = cached[i]
                 if sink == "store":
-                    old = pm.rd_du(addr)
-                    pm.wr_du(addr, du)
-                    if self.future_of(old) is not None \
-                            and not IS_VIEW(old):
-                        mmu.mark_free(old)
+                    if f is None:
+                        f = mmu.future(LazyIdx(vec, j))
+                        old = pm.rd_du(addr)
+                        pm.wr_du(addr, mmu.obj2du(f))
+                        if self.future_of(old) is not None \
+                                and not IS_VIEW(old):
+                            mmu.mark_free(old)
+                        cached[i] = f
+                    else:
+                        f.data = LazyIdx(vec, j)
                 elif sink == "plus":
-                    self._plus_into(addr, du)
-                else:
-                    mmu.mark_free(du)
-            m._hit = LazyIdx(ck["hits"], j)
+                    if f is None:
+                        f = mmu.future(LazyIdx(vec, j))
+                        self._plus_into(addr, mmu.obj2du(f))
+                        cached[i] = self.future_of(pm.rd_du(addr))
+                    else:
+                        f.pending.append(LazyIdx(vec, j))
+                # "drop": per-word creates then frees an unobservable
+                # future — pure noop here
+            m._hit = LazyIdx(hits, j)
             m._pending = None
             m._iter += 1
             ck["j"] = j + 1
             m._fuse_hits += 1
-            m._cycle = list(cyc)
-            m._note_opt(ck["opt"], ck["hyper"])
+            # _note_opt would recompute _fuse_sig to the chunk's own
+            # sig (verified at dispatch; no word ran since) — skip the
+            # per-batch _program() rebuild and just end the cycle
+            m._cycle = []
             self._macro_count = getattr(self, "_macro_count", 0) + 1
             d.fetch(None, 0, 0)       # the NEXT: stage batch j+1
 

@@ -122,13 +122,24 @@ class PMem:
     def set_here(self, a: int):
         self.midx = a
 
+    def _room(self, n: int):
+        """pmem-overflow guard (fuzz finding: boundary colon defs used
+        to crash the REPL with an uncaught struct.error; the native
+        outer's compile path already bounces — this is the Python-side
+        mirror).  Raises the word-error the trampolines report."""
+        if self.midx < 0 or self.midx + n > self.size:
+            raise MemoryError(f"pmem overflow (here={self.midx}, "
+                              f"need {n}, size={self.size})")
+
     def add_p(self, op: int, ioff: int = 0, udf: bool = False, exit: bool = False) -> int:
+        self._room(IU_SZ)
         a = self.midx
         self.wr_param(a, Param(op, ioff, udf, exit))
         self.midx += IU_SZ
         return a
 
     def add_du(self, v) -> int:
+        self._room(DU_SZ)
         a = self.midx
         self.wr_du(a, v)
         self.midx += DU_SZ
@@ -138,6 +149,7 @@ class PMem:
         """write nul-terminated string, 4-byte aligned; returns payload size"""
         raw = s.encode("utf-8") + b"\0"
         sz = ALIGN(len(raw))
+        self._room(sz)
         self.buf[self.midx:self.midx + len(raw)] = np.frombuffer(raw, dtype=np.uint8)
         self.buf[self.midx + len(raw):self.midx + sz] = 0
         self.midx += sz
