@@ -63,10 +63,9 @@ class TensorForth:
         self.vm.state = VMState.QUERY
         from .vm.multitask import TaskPool
         TaskPool.get().attach_pool(self.pool)   # replaces any stale pool
-        if verbose > 1:                      # reference Debug::self_tests
-            self.sys.db.dict_dump()
-            self.sys.db.words()
-            self.sys.db.mem_dump(0, 256)
+        # reference Debug::self_tests (ten4.cu:225): silent integrity
+        # pass at every boot, summary at -v1, full dumps at -v2
+        self.sys.db.self_tests(verbose)
 
     def _run_pool(self):
         """one dispatcher sweep (reference ten4.cu:188-196 run()): VM 0

@@ -55,6 +55,39 @@ class Debug:
         w("-> ok\n")
         self.fout.flush()
 
+    def self_tests(self, level: int = 0) -> bool:
+        """boot sanity (reference Debug::self_tests, debug.cpp:255-261,
+        called unconditionally from ten4.cu:225 — but its body is
+        compile-time gated behind T4_VERBOSE>1, so a default reference
+        build checks nothing).  Here a cheap SILENT integrity pass
+        always runs: dictionary findability of one word per VM tier,
+        pmem HERE bounds, tagged-DU scalar masking, and object-table
+        emptiness.  One summary line prints at -v1; the reference's
+        full dumps (dict_dump/words/mem_dump) print at -v2.  Failures
+        always print and return False."""
+        from .du import SCALAR, IS_OBJ
+        dic, pm = self.mu.dict, self.mu.pmem
+        bad = []
+        for name in ("dup", ":", "@", "+", "words"):
+            i = dic.find(name)
+            if not i or dic[i].name != name:
+                bad.append(f"dict lookup '{name}' -> {i}")
+        if not (16 <= pm.here <= pm.size):
+            bad.append(f"pmem HERE {pm.here} outside [16,{pm.size}]")
+        v = SCALAR(np.float32(3.1415926))
+        if IS_OBJ(v) or abs(float(v) - 3.1415926) > 1e-5:
+            bad.append(f"tagged-DU scalar masking broke: {float(v)!r}")
+        for b in bad:
+            self.fout.write(f"ERROR: self-test: {b}\n")
+        if level > 0 and not bad:
+            self.fout.write(f"\\ self-test ok: {len(dic.words)} words, "
+                            f"pmem {pm.here}/{pm.size}\n")
+        if level > 1:
+            self.dict_dump()
+            self.words()
+            self.mem_dump(0, 256)
+        return not bad
+
     def words(self):
         WIDTH = 72
         w = self.fout.write

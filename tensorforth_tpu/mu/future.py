@@ -20,7 +20,15 @@ word-at-a-time interface usable at speed.
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+# err-bit NaN sentinel (nn/model.py wires this to Model._nan_alarm):
+# called whenever a non-finite scalar materializes on the host, so a
+# NaN produced inside a trace chunk surfaces as the reference's err
+# STOP at the faulting batch instead of propagating silently
+NAN_HOOK = None
 
 
 class LazyIdx:
@@ -112,7 +120,10 @@ class Future:
 
     def value(self) -> float:
         """synchronize: device -> host float32"""
-        return float(np.float32(float(self.dev())))
+        v = float(np.float32(float(self.dev())))
+        if not math.isfinite(v) and NAN_HOOK is not None:
+            NAN_HOOK()
+        return v
 
     def __repr__(self):
         return f"Future(oid={self.oid})"

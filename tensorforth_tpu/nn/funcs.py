@@ -759,12 +759,17 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
     dispatch per K batches instead of per batch (the ~3 ms tunnel
     dispatch floor amortizes across the chunk).
 
-    Returns (lvals[K], hits[K], last) where lvals/hits are the
-    per-batch loss / hit-count scalars (served to the words as
-    lazily-indexed futures, mu/future.LazyIdx) and `last` is the full
-    per-word stash of the FINAL batch, identical in structure to
-    get_fused_cycle_ds's return — the interpreter's tensors materialize
-    the final batch's state exactly as per-batch execution would.
+    Returns (lvals[K], hits[K], fstat[K], last) where lvals/hits are
+    the per-batch loss / hit-count scalars (served to the words as
+    lazily-indexed futures, mu/future.LazyIdx), fstat is the per-batch
+    finite-status int8 vector (0 ok, 1 forward produced a non-finite
+    loss, 2 the optimizer step produced non-finite weights) backing the
+    err-bit NaN sentinel (Model._fin_fault — the chunked analog of the
+    reference's per-layer check + err STOP, forward.cu:60-66 /
+    netvm.cpp:235), and `last` is the full per-word stash of the FINAL
+    batch, identical in structure to get_fused_cycle_ds's return — the
+    interpreter's tensors materialize the final batch's state exactly
+    as per-batch execution would.
     Intermediate batches' tensor states are not materialized; any
     introspection mid-chunk triggers rollback-replay in
     Model._chunk_abort (correctness over speed on the rare path).
@@ -789,12 +794,21 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
                 dws_i, dbs_i, ms_i, vs_i, labels, key, lr, h1, h2, h3)
 
         # stash tuple indices: x=0 labels=1 outs=2 masks=3 hot=4 hit=5
-        # lval=6 dout=7 dxs=8 ndws=9 ndbs=10 nws=11 nms=12 nvs=13 zdws=14
+        # lval=6 dout=7 dxs=8 ndws=9 ndbs=10 nws=11 nms=12 nvs=13
+        # zdws=14 fin=15 (the per-cycle finite status computed by
+        # _fused_cycle_body — forward health from the loss scalar, the
+        # same signal the reference's per-layer _check_nan summarizes;
+        # weight health from an all-params isfinite over the POST-step
+        # weights, which the reference has no analog of — its NaN
+        # surfaces one forward later)
+        def fstat(st):
+            return st[15]
+
         st0 = one(pos0, keys[0], params, dws, dbs, ms, vs)
         if k_batches == 1:
             one_l = jnp.reshape(st0[6], (1,))
             one_h = jnp.reshape(st0[5], (1,))
-            return one_l, one_h, st0
+            return one_l, one_h, jnp.reshape(fstat(st0), (1,)), st0
 
         # Only the optimizer thread (weights, moments) rides the scan
         # carry; the full word stash (activations, masks, gradients) is
@@ -816,9 +830,9 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
             params_i = _scatter_params(program, params, nws_f)
             st = one(pos0 + i * batch, key_i, params_i, zdws0, zdbs0,
                      nms_c, nvs_c)
-            return (st[11], st[12], st[13]), (st[6], st[5])
+            return (st[11], st[12], st[13]), (st[6], st[5], fstat(st))
 
-        carry, (ls, hs) = jax.lax.scan(
+        carry, (ls, hs, fs) = jax.lax.scan(
             body, (st0[11], st0[12], st0[13]),
             (jnp.arange(1, k_batches - 1), keys[1:k_batches - 1]))
         nws_f, nms_c, nvs_c = carry
@@ -829,7 +843,9 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
                                  jnp.reshape(last[6], (1,))])
         hits = jnp.concatenate([jnp.reshape(st0[5], (1,)), hs,
                                 jnp.reshape(last[5], (1,))])
-        return lvals, hits, last
+        fstats = jnp.concatenate([jnp.reshape(fstat(st0), (1,)), fs,
+                                  jnp.reshape(fstat(last), (1,))])
+        return lvals, hits, fstats, last
 
     return jax.jit(chunk)
 
@@ -880,5 +896,14 @@ def _fused_cycle_body(program, train, loss_op, opt, ndivs,
         nws.append(w)
         nms.append(m)
         zdws.append(jnp.zeros_like(dw))
+    # finite-status int8 (err-bit NaN sentinel, Model._fin_check):
+    # 0 ok / 1 the forward produced a non-finite loss / 2 the optimizer
+    # step produced non-finite weights (forward itself was clean) —
+    # computed in-program so the word path pays no extra dispatch
+    w_ok = jnp.bool_(True)
+    for w in nws:
+        w_ok = w_ok & jnp.all(jnp.isfinite(w))
+    fin = jnp.where(jnp.isfinite(lval),
+                    jnp.where(w_ok, 0, 2), 1).astype(jnp.int8)
     return (outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
-            tuple(nws), tuple(nms), tuple(nvs), tuple(zdws))
+            tuple(nws), tuple(nms), tuple(nvs), tuple(zdws), fin)

@@ -67,6 +67,10 @@ def _key0():
 
 
 class Model:
+    _live: "weakref.WeakSet" = None           # all constructed models —
+    #                                           the NaN-materialization
+    #                                           sentinel walks this set
+
     def __init__(self, mmu, trace: int = 0):
         self.oid = 0
         self.ttype = T4Type.MODEL
@@ -94,6 +98,17 @@ class Model:
         #                                       funcs.get_fused_chunk_ds)
         self._fuse_hits = 0                   # consecutive CONSUMED fused
         #                                       cycles (chunking arms at 1)
+        self._fin_tail = None                 # most recent COMPLETED chunk,
+        #                                       retained for the NaN sentinel
+        #                                       (err-bit rollback window)
+        self._fin_log = []                    # consumed single-cycle finite
+        #                                       statuses [(seq, pos, fin)] —
+        #                                       exact attribution for faults
+        #                                       in the chunk-arming batches
+        self._fin_seq = 0                     # dispatch-order stamp so the
+        #                                       sentinel scans windows oldest
+        #                                       first (first fault wins)
+        Model._live.add(self)
 
     # --- macro-op fusion bookkeeping -----------------------------------------
     def fuse_break(self):
@@ -104,6 +119,10 @@ class Model:
         self._pending = None
         self._fuse_sig = None
         self._fuse_hits = 0
+        self._fin_tail = None    # a live-state mutation invalidates the
+        #                          NaN sentinel's replay window (a later
+        #                          rollback would clobber the mutation)
+        self._fin_log.clear()
         if self._cycle and self._cycle[-1] != "dirty":
             self._cycle.append("dirty")
 
@@ -540,6 +559,10 @@ class Model:
                     inp._fetch_spec = None
                     self._cycle.append("fwd_ds")
                     return self
+                if self.err:          # NaN sentinel fault during the
+                    return self       # dispatch check (eager mode) —
+                #                       don't clobber the rolled-back
+                #                       state; netvm STOPs on err
                 # fetch-FOLDED cycle: the batch is still only a (corpus,
                 # pos) spec — slice+normalize runs inside the one fused
                 # program (zero separate fetch dispatch)
@@ -634,12 +657,13 @@ class Model:
         res = fn(n0.ensure_data(), self._params(), dws, dbs,
                  tuple(ms), vs, labels, key, *(_jf32(h) for h in hyper))
         (outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
-         nws, nms, nvs, zdws) = res
+         nws, nms, nvs, zdws, fin) = res
         self._pending = {
             "loss_op": loss_op, "opt": opt, "hyper": hyper,
             "lval": lval, "dout": dout, "dxs": dxs,
             "ndws": ndws, "ndbs": ndbs, "nws": nws, "nms": nms,
-            "nvs": nvs, "zdws": zdws, "bwd_done": False,
+            "nvs": nvs, "zdws": zdws, "fin": fin, "pos": None,
+            "seq": self._next_fin_seq(), "bwd_done": False,
         }
         return outs, masks, hot, hit
 
@@ -679,12 +703,13 @@ class Model:
                  dws, dbs, tuple(ms), vs, key,
                  *(_jf32(h) for h in hyper))
         (x0, lab, outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
-         nws, nms, nvs, zdws) = res
+         nws, nms, nvs, zdws, fin) = res
         self._pending = {
             "loss_op": loss_op, "opt": opt, "hyper": hyper,
             "lval": lval, "dout": dout, "dxs": dxs,
             "ndws": ndws, "ndbs": ndbs, "nws": nws, "nms": nms,
-            "nvs": nvs, "zdws": zdws, "bwd_done": False,
+            "nvs": nvs, "zdws": zdws, "fin": fin, "pos": int(pos),
+            "seq": self._next_fin_seq(), "bwd_done": False,
         }
         return x0, lab, outs, masks, hot, hit
 
@@ -768,17 +793,26 @@ class Model:
         else:
             seeds = None
             keys = jnp.broadcast_to(key, (k_batches,) + key.shape)
+        # err-bit NaN sentinel (reference forward.cu:60-66, netvm.cpp:235):
+        # eager mode blocks on the previous chunk's finite-status vector
+        # at every chunk boundary (bounded detection latency, costs one
+        # tunnel readback + pipeline overlap per chunk); the default lazy
+        # mode checks only when a non-finite value materializes on the
+        # host (mu/future.NAN_HOOK) — zero cost on the healthy path.
+        if os.environ.get("T4_NAN_GUARD", "") == "eager" \
+                and self._fin_check(blocking=True):
+            return False                     # fault handled; err set
         fn = funcs.get_fused_chunk_ds(
             prog, bool(self.train), loss_op, opt, self._ndivs(),
             inp.batch_sz, float(inp._mean), float(inp._scale),
             tuple(self[0].shape), k_batches)
-        lvals, hits, last = fn(cp._dev_cache, cp._dev_labels,
-                               _ji32(pos), params, dws, dbs, ms, vs,
-                               keys, *(_jf32(h) for h in hyper))
+        lvals, hits, fins, last = fn(cp._dev_cache, cp._dev_labels,
+                                     _ji32(pos), params, dws, dbs, ms, vs,
+                                     keys, *(_jf32(h) for h in hyper))
         self._chunk = {
             "ds": inp, "pos0": int(pos), "batch": inp.batch_sz,
             "k": k_batches, "j": 0, "stage": "idle",
-            "lvals": lvals, "hits": hits, "last": last,
+            "lvals": lvals, "hits": hits, "fins": fins, "last": last,
             "loss_op": loss_op, "opt": opt, "hyper": hyper,
             "args": (params, dws, dbs, ms, vs), "keys": keys,
             "seeds": seeds,
@@ -787,6 +821,7 @@ class Model:
             # _chunk_abort rebuild the program against stale state
             "prog": prog, "ndivs": self._ndivs(),
             "in_shape": tuple(self[0].shape),
+            "seq": self._next_fin_seq(),
         }
         self._serve_chunk_cycle()
         return True
@@ -837,7 +872,14 @@ class Model:
     def _chunk_apply_last(self):
         ck, self._chunk = self._chunk, None
         (x0, lab, outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
-         nws, nms, nvs, zdws) = ck["last"]
+         nws, nms, nvs, zdws, fin) = ck["last"]
+        # retain the completed chunk (minus its final-batch stash, whose
+        # activations would otherwise stay pinned after the live tensors
+        # move on) as the NaN sentinel's rollback window: if a value
+        # from it later materializes non-finite, _fin_fault can still
+        # replay to the exact faulting batch from the dispatch snapshot
+        self._fin_tail = {k: v for k, v in ck.items()
+                          if k not in ("last", "lvals", "hits")}
         inp, n0 = ck["ds"], self[0]
         inp.replace_data(x0)
         inp.label_dev = lab
@@ -847,6 +889,10 @@ class Model:
             "hyper": ck["hyper"], "lval": lval, "dout": dout,
             "dxs": dxs, "ndws": ndws, "ndbs": ndbs, "nws": nws,
             "nms": nms, "nvs": nvs, "zdws": zdws, "bwd_done": False,
+            # final-batch fin is fins[k-1] of the retained chunk window
+            # — a None here keeps the consume-time log from double-
+            # reporting it as a single-cycle entry
+            "fin": None, "pos": None, "seq": ck["seq"],
         }
         self._apply_fwd_stash(outs, masks, hot, hit)
 
@@ -865,6 +911,36 @@ class Model:
         j, stage = ck["j"], ck["stage"]
         if j == 0 and stage == "idle":
             return                    # nothing served — pure discard
+        res = self._chunk_replay(ck, j, want_stash=(stage != "idle"))
+        if stage == "idle":
+            self._pending = None
+            return
+        # partial cycle: regenerate its stash at the correct state so
+        # the remaining words of the current cycle serve normally
+        (x0, lab, outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
+         nws, nms, nvs, zdws, fin) = res
+        inp, n0 = ck["ds"], self[0]
+        inp.replace_data(x0)
+        inp.label_dev = lab
+        n0.replace_data(inp.data_as(*n0.shape))
+        self._pending = {
+            "loss_op": ck["loss_op"], "opt": ck["opt"],
+            "hyper": ck["hyper"], "lval": lval, "dout": dout,
+            "dxs": dxs, "ndws": ndws, "ndbs": ndbs, "nws": nws,
+            "nms": nms, "nvs": nvs, "zdws": zdws, "fin": fin,
+            "pos": ck["pos0"] + j * ck["batch"],
+            "seq": self._next_fin_seq(), "bwd_done": stage == "bwd",
+        }
+        self._apply_fwd_stash(outs, masks, hot, hit)
+        if stage == "bwd":
+            self._apply_bwd(dout, dxs, ndws, ndbs)
+
+    def _chunk_replay(self, ck, j: int, want_stash: bool):
+        """replay j COMPLETE cycles of a dispatched chunk through the
+        single-batch fused program from the dispatch-time snapshot and
+        apply the threaded end state to the live tensors; when
+        want_stash, also run cycle j itself and return its full stash
+        (shared by _chunk_abort and the NaN sentinel's _fin_fault)"""
         prog = ck["prog"]             # dispatch-time snapshot, NOT the
         params, dws, dbs, ms, vs = ck["args"]  # (possibly mutated) live one
         inp, b, pos0 = ck["ds"], ck["batch"], ck["pos0"]
@@ -896,35 +972,189 @@ class Model:
                     t.mtum[s + 2].replace_data(vs[i])
                 elif t.mtum[s] is not t.grad[s]:
                     t.mtum[s].replace_data(ms[i])
-        if stage == "idle":
-            self._pending = None
-            return
-        # partial cycle: regenerate its stash at the correct state so
-        # the remaining words of the current cycle serve normally
-        res = fn(cp._dev_cache, cp._dev_labels, _ji32(pos0 + j * b),
-                 params, dws, dbs, ms, vs, ck["keys"][j], *hy)
-        (x0, lab, outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
-         nws, nms, nvs, zdws) = res
-        n0 = self[0]
+        if not want_stash:
+            return None
+        return fn(cp._dev_cache, cp._dev_labels, _ji32(pos0 + j * b),
+                  params, dws, dbs, ms, vs, ck["keys"][j], *hy)
+
+    # =========================================================================
+    # err-bit NaN sentinel: the chunked analog of the reference's
+    # per-layer _check_nan + err STOP (forward.cu:60-66, t4base.h err
+    # bit, netvm.cpp:235).  Each dispatched chunk carries a per-batch
+    # finite-status vector (funcs.get_fused_chunk_ds fstat); the most
+    # recent completed chunk is retained (_fin_tail) so a non-finite
+    # value materializing on the host can still be traced to — and
+    # rolled back to — the exact faulting batch.
+    # =========================================================================
+    def _next_fin_seq(self) -> int:
+        self._fin_seq += 1
+        return self._fin_seq
+
+    def _fin_check(self, blocking: bool = False) -> bool:
+        """scan every retained finite-status window in dispatch order
+        (consumed single cycles, retained + active chunks, the current
+        pending cycle — oldest first, so the FIRST fault wins); on a
+        fault, rollback-replay to the faulting batch where a chunk
+        snapshot allows it, print the per-layer trace, and set the err
+        bit (the net words STOP on it, as the reference's
+        netvm.cpp:235).  Returns True when a fault was found and
+        handled."""
+        wins = [(seq, ("single", pos, fin))
+                for (seq, pos, fin) in self._fin_log]
+        for ck in (self._fin_tail, self._chunk):
+            if ck is not None:
+                wins.append((ck["seq"], ("chunk", ck)))
+        p = self._pending
+        if p is not None and p.get("fin") is not None:
+            wins.append((p["seq"], ("pending", p)))
+        for _seq, win in sorted(wins, key=lambda w: w[0]):
+            if win[0] == "single":
+                _, pos, f = win
+                if not blocking and hasattr(f, "is_ready") \
+                        and not f.is_ready():
+                    continue
+                code = int(np.asarray(f))
+                if code:
+                    self._fin_single_fault(pos, code, advanced=True)
+                    return True
+                continue
+            ck = win[1]
+            if win[0] == "pending":
+                f = ck.get("fin")
+                if not blocking and hasattr(f, "is_ready") \
+                        and not f.is_ready():
+                    continue
+                code = int(np.asarray(f))
+                if code:
+                    # the pending cycle's forward stash is already the
+                    # live tensor state — report, no replay needed
+                    self._fin_single_fault(ck.get("pos"), code,
+                                           advanced=False)
+                    return True
+                continue
+            f = ck.get("fins")
+            if f is None:
+                continue
+            if not blocking and hasattr(f, "is_ready") \
+                    and not f.is_ready():
+                continue
+            fa = np.asarray(f)
+            ck["fins"] = fa               # cache the readback
+            if not fa.any():
+                continue
+            # the active chunk is unserved speculation on top of the
+            # fault (tail case) or IS the fault (active case): pure
+            # discard either way — _fin_fault rebuilds exact state
+            self._chunk = None
+            self._fin_fault(ck, fa)
+            return True
+        return False
+
+    def _fin_single_fault(self, pos, code: int, advanced: bool):
+        """a single-cycle window (consumed arming cycle or the current
+        pending cycle) produced a non-finite batch; no chunk snapshot
+        exists, so report without rollback and set the err bit"""
+        from ..system import System
+        sys = System.get_sys()
+        self._fuse_hits = 0
+        self._fuse_sig = None
+        self._pending = None
+        self._chunk = None       # unserved speculation atop the fault
+        self._fin_tail = None
+        self._fin_log.clear()
+        at = f" at corpus offset {pos}" if pos is not None \
+            else " in the current batch"
+        if code == 2:
+            sys.pstr(f"\nERROR: nn#opt non-finite weights after the "
+                     f"optimizer step{at}")
+        else:
+            sys.pstr(f"\nERROR: nn#forward non-finite{at}")
+        if advanced:
+            sys.pstr("\n(state has advanced past the faulting batch; "
+                     "rerun with trace=1 for per-batch checks)")
+        self._trace_pass("forward", range(self.numel - 1),
+                         nan_check=True)
+        self.err = 1
+
+    def _fin_fault(self, ck, fa):
+        """a dispatched chunk produced a non-finite batch: report it,
+        replay to the faulting batch, run its forward with the
+        per-layer trace (prints the first NaN layer exactly as the
+        reference's traced forward does) and set the err bit"""
+        from ..system import System
+        sys = System.get_sys()
+        fwd_bad = np.nonzero(fa == 1)[0]
+        w_bad = np.nonzero(fa == 2)[0]
+        # fault batch = the first forward with a non-finite loss — the
+        # same batch the reference's per-layer check would flag; a
+        # weight explosion (code 2, optimizer step) is reported as
+        # itself, since the reference only sees it one forward later
+        i = int(fwd_bad[0]) if fwd_bad.size else int(w_bad[0])
+        b, pos = ck["batch"], ck["pos0"] + int(
+            (fwd_bad[0] if fwd_bad.size else w_bad[0])) * ck["batch"]
+        self._fuse_hits = 0
+        self._fuse_sig = None
+        self._pending = None
+        self._fin_tail = None
+        self._fin_log.clear()
+        if w_bad.size and (not fwd_bad.size or w_bad[0] < fwd_bad[0]):
+            sys.pstr(f"\nERROR: nn#opt non-finite weights after the "
+                     f"optimizer step at corpus offset "
+                     f"{ck['pos0'] + int(w_bad[0]) * b}")
+        if i == 0:
+            sys.pstr(f"\nERROR: non-finite at the retained window's "
+                     f"first batch (offset {pos}) — the fault may "
+                     f"predate it; rerun with trace=1 or "
+                     f"T4_NAN_GUARD=eager to localize")
+        res = self._chunk_replay(ck, i, want_stash=True)
+        (x0, lab, outs, masks, hot, hit, *_rest) = res
+        inp, n0 = ck["ds"], self[0]
         inp.replace_data(x0)
         inp.label_dev = lab
         n0.replace_data(inp.data_as(*n0.shape))
-        self._pending = {
-            "loss_op": ck["loss_op"], "opt": ck["opt"],
-            "hyper": ck["hyper"], "lval": lval, "dout": dout,
-            "dxs": dxs, "ndws": ndws, "ndbs": ndbs, "nws": nws,
-            "nms": nms, "nvs": nvs, "zdws": zdws,
-            "bwd_done": stage == "bwd",
-        }
         self._apply_fwd_stash(outs, masks, hot, hit)
-        if stage == "bwd":
-            self._apply_bwd(dout, dxs, ndws, ndbs)
+        sys.pstr(f"\nERROR: nn#forward non-finite at corpus offset "
+                 f"{pos} (batch {i} of the chunk at {ck['pos0']}); "
+                 f"state rolled back to the faulting batch")
+        self._trace_pass("forward", range(self.numel - 1),
+                         nan_check=True)
+        self.err = 1
 
-    def _trace_pass(self, name: str, order):
-        """per-layer trace (reference forward.cu:44-51/backprop.cu:41-47)"""
+    _alarm_busy = False
+
+    @classmethod
+    def _nan_alarm(cls):
+        """mu/future.NAN_HOOK: a non-finite scalar materialized on the
+        host — scan live models' retained chunk windows and convert
+        the first fault found into the err-bit stop (rollback + layer
+        trace).  Zero cost on healthy reads; re-entrancy guarded (the
+        fault path itself reads device scalars)."""
+        if cls._alarm_busy:
+            return
+        cls._alarm_busy = True
+        try:
+            for m in list(cls._live or ()):
+                if (m._chunk is not None or m._fin_tail is not None
+                        or m._fin_log
+                        or (m._pending is not None
+                            and m._pending.get("fin") is not None)):
+                    if m._fin_check(blocking=True):
+                        return
+        finally:
+            cls._alarm_busy = False
+
+    def _trace_pass(self, name: str, order, nan_check: bool | None = None):
+        """per-layer trace (reference forward.cu:44-51/backprop.cu:41-47).
+        The forward pass checks each layer output for NaN whenever the
+        trace runs — the reference's `if (*_trace && _check_nan(out))`
+        (forward.cu:60-66) — printing the faulting layer, setting the
+        err bit (net words STOP on it) and breaking; backprop keeps the
+        check at trace>1 (the reference's backprop has none)."""
         from ..system import System
         from ..ops import engine
         sys = System.get_sys()
+        if nan_check is None:
+            nan_check = name == "forward" or sys.trace > 1
         sys.pstr(f"\nModel::{name} trace {{")
         for i in order:
             t_in, t_out = self[i], self[i + 1]
@@ -935,9 +1165,11 @@ class Model:
                 f" Σ/n={s:6.2f} p={float(t_in.xparm):6.3f}"
                 f" => out[{t_out.N():2d},{t_out.H():2d},"
                 f"{t_out.W():2d},{t_out.C():2d}]")
-            if sys.trace > 1 and engine.has_nan(t_out.ensure_data()):
-                sys.pstr(f"\n  WARN NaN in {Model.nname(t_in.grad_fn)}")
+            if nan_check and engine.has_nan(t_out.ensure_data()):
+                sys.pstr(f"\nERROR: nn#{name} NaN in "
+                         f"{Model.nname(t_in.grad_fn)}")
                 self.err = 1
+                break
         sys.pstr("\n}\n")
 
     # =========================================================================
@@ -1136,6 +1368,12 @@ class Model:
             self._fuse_hits += 1
             self._note_opt(opt, hyper)
             return True
+        if p.get("fin") is not None:
+            # retain the consumed cycle's finite status: exact fault
+            # attribution for the chunk-arming single cycles (the NaN
+            # sentinel scans these oldest-first, _fin_check)
+            self._fin_log.append((p["seq"], p.get("pos"), p["fin"]))
+            del self._fin_log[:-8]
         adamlike = opt in ("adam", "adamw")
         for i, (t, s) in enumerate(self._trainables()):
             t.grad[s].replace_data(p["nws"][i])
@@ -1265,3 +1503,10 @@ class Model:
 
     def loss(self, op: int, tgt: Tensor | None = None) -> float:
         return float(self.loss_dev(op, tgt))
+
+
+import weakref  # noqa: E402  (registry wiring, after the class body)
+
+Model._live = weakref.WeakSet()
+from ..mu import future as _future  # noqa: E402
+_future.NAN_HOOK = Model._nan_alarm

@@ -146,3 +146,21 @@ def test_qdo_skips_empty_range(t4):
 def test_qdo_nested_with_do(t4):
     out = t4.forth(": nst 0 3 0 ?do 2 0 do 1 + loop loop ;\nnst .")
     assert "6 " in out
+
+
+def test_boot_self_tests(t4):
+    """reference Debug::self_tests (debug.cpp:255, ten4.cu:225): the
+    silent integrity pass must hold on a booted system, print one
+    summary line at -v1 and the full dumps at -v2"""
+    import io
+    db = t4.sys.db
+    assert db.self_tests(0) is True
+    buf = io.StringIO()
+    old, db.fout = db.fout, buf
+    try:
+        assert db.self_tests(1) is True
+        assert "\\ self-test ok:" in buf.getvalue()
+        assert db.self_tests(2) is True
+        assert "Built-in Dictionary:" in buf.getvalue()
+    finally:
+        db.fout = old
