@@ -499,6 +499,43 @@ gm gtd gep drop""")
             os.environ["T4_SEED"] = old_seed
 
 
+def run_digits_gate(epochs: int = 8, seed: int = 42):
+    """REAL-data gate (no network needed): train on the 1500 genuine
+    handwritten scans of the UCI digits set (io/loader.py Digits
+    materializes them as IDX files read through the MNIST path),
+    evaluate on the held-out 275.  When real MNIST files are on disk
+    (scripts/fetch_mnist.py) the MAIN gate already runs on real bytes
+    and this one is supplementary."""
+    import re
+    old_seed = os.environ.get("T4_SEED")
+    os.environ["T4_SEED"] = str(seed)
+    os.environ.pop("T4_MAX_BATCH", None)
+    try:
+        _, run = _repl()
+        run("""0 trace
+25 8 8 1 nn.model
+0.5 10 conv2d relu maxpool
+flatten 64 linear relu 10 linear softmax
+constant dm
+dm batchsize dataset digits_train constant dtr""")
+        print(f"[bench] real-digits gate: {epochs} epochs ...",
+              file=sys.stderr, flush=True)
+        run(f"dm dtr 0.01 {epochs} nn.train")
+        os.environ["T4_MAX_BATCH"] = "11"      # 11 full held-out batches
+        run("""dm batchsize dataset digits_test constant dte
+variable dh 0 dh ! variable dn 0 dn !
+: dep for forward nn.hit dh +! batchsize dn +! next ;
+dm dte dep drop""")
+        out = run('dh @ dn @ / ." DGATE= " . cr')
+        return float(re.search(r"DGATE= ([-+\d.eE]+) ", out).group(1))
+    finally:
+        os.environ.pop("T4_MAX_BATCH", None)
+        if old_seed is None:
+            os.environ.pop("T4_SEED", None)
+        else:
+            os.environ["T4_SEED"] = old_seed
+
+
 def main():
     import jax
     os.makedirs(".jax_cache", exist_ok=True)
@@ -610,6 +647,17 @@ def main():
                 run_accuracy_gate(epochs=20), 4)
         except Exception as e:
             print(f"[bench] gate failed: {e}", file=sys.stderr, flush=True)
+        try:
+            from tensorforth_tpu.io.loader import Loader
+            Loader.init()
+            real_mnist = Loader._map["mnist_train"].available()
+            details["gate_corpus"] = ("real-mnist-idx" if real_mnist
+                                      else "synthetic-standin")
+            details["real_digits_accuracy_8ep"] = round(
+                run_digits_gate(epochs=8), 4)
+        except Exception as e:
+            print(f"[bench] real-digits gate failed: {e}",
+                  file=sys.stderr, flush=True)
 
     print(json.dumps({
         # precision-honest label: bf16 multiplicands, f32 accumulation

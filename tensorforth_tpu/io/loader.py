@@ -147,6 +147,50 @@ class Mnist(Corpus):
         return self._img[pos:pos + n], self._lbl[pos:pos + n]
 
 
+class Digits(Mnist):
+    """REAL handwritten-digit corpus: the UCI ML "Optical Recognition
+    of Handwritten Digits" set (NIST-derived, 1797 genuine 8x8 scans)
+    bundled with scikit-learn.  On first use the samples are written
+    out as standard big-endian IDX files (train 1500 / test 297) and
+    then consumed through the SAME reader path as MNIST (incl. the
+    native csrc IDX parser), so real bytes exercise the whole loader
+    stack even in containers with no network access.  MNIST proper is
+    preferred when its files exist — fetch with scripts/fetch_mnist.py.
+    Reference: ld/mnist.cpp:19-92 (IDX format)."""
+
+    def __init__(self, img_rel: str, lbl_rel: str, train: bool):
+        super().__init__(img_rel, lbl_rel)
+        self._train = train
+
+    def available(self) -> bool:
+        return super().available() or self._materialize_idx()
+
+    def _materialize_idx(self) -> bool:
+        try:
+            from sklearn.datasets import load_digits
+        except Exception:
+            return False
+        root = next((r for r in Config.DATA_ROOTS if r), "./data")
+        try:
+            d = load_digits()
+            # raw ink values are 0..16; rescale to the u8 range so the
+            # scripts' (x-mean)/256 normalization convention holds
+            img = np.clip(d.images * 15.9375, 0, 255).astype(np.uint8)
+            lbl = d.target.astype(np.uint8)
+            sl = slice(0, 1500) if self._train else slice(1500, None)
+            img, lbl = img[sl], lbl[sl]
+            os.makedirs(os.path.join(root, "DIGITS/raw"), exist_ok=True)
+            with open(os.path.join(root, self.img_rel), "wb") as f:
+                f.write(struct.pack(">IIII", 0x803, img.shape[0], 8, 8))
+                f.write(np.ascontiguousarray(img).tobytes())
+            with open(os.path.join(root, self.lbl_rel), "wb") as f:
+                f.write(struct.pack(">II", 0x801, lbl.shape[0]))
+                f.write(np.ascontiguousarray(lbl).tobytes())
+            return True
+        except Exception:
+            return False
+
+
 class Cifar10(Corpus):
     """binary-batch reader: 3073-byte records, NCHW->NHWC transpose
     (reference ld/cifar10.cpp)"""
@@ -367,6 +411,14 @@ class Loader:
                 "CIFAR10/cifar-10-batches-bin/data_batch.bin"),
             "cifar10_test": Cifar10(
                 "CIFAR10/cifar-10-batches-bin/test_batch.bin"),
+            # real handwritten-digit data available offline (no
+            # synthetic fallback — this is the real-data gate)
+            "digits_train": Digits("DIGITS/raw/train-images-idx3-ubyte",
+                                   "DIGITS/raw/train-labels-idx1-ubyte",
+                                   True),
+            "digits_test": Digits("DIGITS/raw/t10k-images-idx3-ubyte",
+                                  "DIGITS/raw/t10k-labels-idx1-ubyte",
+                                  False),
         }
 
     _SYNTH = {

@@ -1,0 +1,79 @@
+"""Real-data training gate: the `digits_*` corpora are genuine
+handwritten-digit scans (UCI/NIST set bundled with scikit-learn),
+materialized as standard IDX files and consumed through the SAME
+reader stack as MNIST (io/loader.py Mnist, incl. the native csrc IDX
+parser) — so a full train/eval cycle runs on real bytes end-to-end
+even in a container with no network egress.  Real MNIST itself is one
+command away (scripts/fetch_mnist.py) and is preferred when present.
+
+Reference: ld/mnist.cpp:19-92 trains on genuine IDX bytes; this gate
+is the offline analog (VERDICT r3 item 5)."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+sklearn_ds = pytest.importorskip("sklearn.datasets")
+
+
+@pytest.fixture
+def digits_root(tmp_path, monkeypatch):
+    """isolated data root so tests never touch the repo's ./data"""
+    from tensorforth_tpu.config import Config
+    from tensorforth_tpu.io.loader import Loader
+    monkeypatch.setattr(Config, "DATA_ROOTS", [str(tmp_path)])
+    monkeypatch.setattr(Loader, "_map", {})
+    return tmp_path
+
+
+def test_digits_idx_files_are_real_bytes(digits_root):
+    """the materialized IDX files must carry the genuine UCI scans —
+    byte-compare against scikit-learn's bundled copy — and parse
+    through the same reader used for MNIST"""
+    from tensorforth_tpu.io.loader import Loader
+    cp = Loader.get(None, "digits_train")
+    assert cp is not None and type(cp).__name__ == "Digits"
+    cp.init()
+    assert (cp.size, cp.H, cp.W, cp.C) == (1500, 8, 8, 1)
+    d = sklearn_ds.load_digits()
+    want = np.clip(d.images[:1500] * 15.9375, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(cp._img[..., 0], want)
+    np.testing.assert_array_equal(cp._lbl, d.target[:1500])
+    # file on disk is standard big-endian IDX (readable by any tool)
+    p = digits_root / "DIGITS/raw/train-images-idx3-ubyte"
+    with open(p, "rb") as f:
+        magic, n, h, w = struct.unpack(">IIII", f.read(16))
+    assert (magic, n, h, w) == (0x803, 1500, 8, 8)
+    te = Loader.get(None, "digits_test")
+    te.init()
+    assert te.size == 297
+    assert set(np.unique(te._lbl)) == set(range(10)), \
+        "held-out split must cover all ten classes"
+
+
+def test_real_data_training_gate(t4, digits_root, monkeypatch):
+    """train the small CNN on 1500 real scans, evaluate on the held-out
+    275 (11 full batches): accuracy >= 88% through the word interface"""
+    monkeypatch.delenv("T4_MAX_BATCH", raising=False)
+    t4.forth("""0 trace
+25 8 8 1 nn.model
+0.5 10 conv2d relu maxpool
+flatten 64 linear relu 10 linear softmax
+constant m
+m batchsize dataset digits_train constant tr""")
+    t4.forth("variable h variable l\n"
+             ": ep 0 h ! for forward loss.ce l ! nn.hit h +! "
+             "backprop 0.01 nn.adam next ;")
+    for _ in range(8):
+        t4.forth("tr rewind drop m tr ep drop")
+    train_hits = int(float(t4.forth("h @ . cr").split()[0]))
+    assert train_hits >= 1400, f"train hits {train_hits}/1500"
+
+    t4.forth("m batchsize dataset digits_test constant te")
+    monkeypatch.setenv("T4_MAX_BATCH", "11")
+    t4.forth("variable g\n: ev 0 g ! for forward nn.hit g +! next ;")
+    t4.forth("te rewind drop m te ev drop")
+    hits = int(float(t4.forth("g @ . cr").split()[0]))
+    acc = hits / 275.0
+    assert acc >= 0.88, f"real-data held-out accuracy {acc:.3f} < 0.88"
