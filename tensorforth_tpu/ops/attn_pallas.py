@@ -39,15 +39,58 @@ def _dot(a, b, hybrid: bool):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+_LOG2E = 1.4426950408889634       # 1/ln 2
+_LN2 = 0.6931471805599453
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, *rest,
-                  bq: int, bkv: int, scale: float, causal: bool,
-                  save_lse: bool, hybrid: bool = False):
-    if save_lse:
+                  bq: int, bkv: int, causal: bool,
+                  save_lse: bool, hybrid: bool = False,
+                  single: bool = False, ckv: int = 0):
+    """VPU-softmax cost is the forward's bound (the dots run ~80 TF/s
+    in the backward), so the softmax is computed in the BASE-2 domain:
+    flash_attention pre-folds scale*log2(e) into Q, the kernel uses the
+    native exp2 (jnp.exp costs an extra log2e multiply per element on
+    the VPU) and the per-score `* scale` disappears entirely (one
+    [S,dh] pass outside replaces a per-[S,S]-element multiply inside).
+    The running max / lse stay in the base-2 domain; the flush converts
+    lse back to nats for the backward.  single=True is the one-KV-block
+    specialization (non-causal S<=bkv): no running statistics, no
+    scratch read-modify-write — a straight two-dot softmax block."""
+    if single:
+        o_ref = rest[0]
+        lse_ref = rest[1] if save_lse else None
+    elif save_lse:
         o_ref, lse_ref, m_sc, l_sc, acc_sc = rest
     else:
         (o_ref, m_sc, l_sc, acc_sc), lse_ref = rest, None
     q_i = pl.program_id(1)
     kv_i = pl.program_id(2)
+
+    if single:
+        q = q_ref[0]                                # [bq, dh]
+        s2 = _dot(q, k_ref[0].T, hybrid)            # base-2 scores
+        m = jnp.max(s2, axis=-1, keepdims=True)
+        if ckv and ckv < bkv:
+            # chunked epilogue: exp2 of chunk i+1 (VPU) overlaps the
+            # PV dot of chunk i (MXU) — the two units run concurrently
+            # instead of the whole softmax serializing before one big dot
+            l = jnp.zeros((bq, 1), jnp.float32)
+            acc = jnp.zeros_like(o_ref[0])
+            for i in range(bkv // ckv):
+                p_i = jnp.exp2(s2[:, i * ckv:(i + 1) * ckv] - m)
+                l = l + jnp.sum(p_i, axis=-1, keepdims=True)
+                acc = acc + _dot(p_i, v_ref[0][i * ckv:(i + 1) * ckv],
+                                 hybrid)
+            o_ref[0] = acc / l
+        else:
+            p = jnp.exp2(s2 - m)                    # [bq, bkv]
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[0] = _dot(p, v_ref[0], hybrid) / l
+        if save_lse:
+            lse_ref[0] = jnp.broadcast_to(
+                (m + jnp.log2(l)) * _LN2, lse_ref[0].shape)
+        return
 
     @pl.when(kv_i == 0)
     def _init():
@@ -59,19 +102,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest,
         q = q_ref[0]                                # [bq, dh]
         k = k_ref[0]                                # [bkv, dh]
         v = v_ref[0]                                # [bkv, dh]
-        s = _dot(q, k.T, hybrid) * scale
+        s2 = _dot(q, k.T, hybrid)                   # base-2 scores
         if causal:
             rows = q_i * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 0)
             cols = kv_i * bkv + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 1)
-            s = jnp.where(cols <= rows, s, NEG_INF)
+            s2 = jnp.where(cols <= rows, s2, NEG_INF)
 
         m_prev = m_sc[:, 0:1]                       # [bq, 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_cur = jnp.max(s2, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                      # [bq, bkv]
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s2 - m_new)                    # [bq, bkv]
         l_new = alpha * l_sc[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
         acc_sc[:] = acc_sc[:] * alpha + _dot(p, v, hybrid)
         m_sc[:, 0:1] = m_new
@@ -90,9 +133,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest,
     def _flush():
         o_ref[0] = acc_sc[:] / l_sc[:, 0:1]
         if save_lse:
-            # per-row log-sum-exp, lane-broadcast (backward residual)
+            # per-row log-sum-exp in NATS, lane-broadcast (backward
+            # residual; the running stats live in the base-2 domain)
             lse_ref[0] = jnp.broadcast_to(
-                m_sc[:, 0:1] + jnp.log(l_sc[:, 0:1]), lse_ref[0].shape)
+                (m_sc[:, 0:1] + jnp.log2(l_sc[:, 0:1])) * _LN2,
+                lse_ref[0].shape)
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
@@ -188,10 +233,12 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("bq", "bkv", "causal", "interpret",
-                                    "return_lse", "hybrid"))
-def flash_attention(q, k, v, bq: int = 512, bkv: int | None = None,
+                                    "return_lse", "hybrid", "ckv"))
+def flash_attention(q, k, v, bq: int | None = None,
+                    bkv: int | None = None,
                     causal: bool = False, interpret: bool = False,
-                    return_lse: bool = False, hybrid: bool = False):
+                    return_lse: bool = False, hybrid: bool = False,
+                    ckv: int | None = None):
     """q,k,v: [B, S, dh] (batch*heads flattened) -> [B, S, dh];
     causal=True masks future positions (LM training); interpret=True
     runs the kernel in the Pallas interpreter (CPU-testable);
@@ -201,18 +248,31 @@ def flash_attention(q, k, v, bq: int = 512, bkv: int | None = None,
     f32 accumulation (the v8 GEMM treatment) — softmax statistics and
     the output stay f32.
 
-    Default blocks from the r3 TPU sweeps (S=2048, dh=128, v5e):
-    bq=512 with the FULL KV span per block (48.5 TF/s hybrid vs 23.5
-    at the old 256x256) — block size dominates, the VPU softmax is the
-    residual bound.  Causal keeps bkv=512 so the fully-masked-block
-    skip still saves its half of the FLOPs."""
+    Defaults from the r4 TPU sweeps (S=2048, dh=128, v5e):
+    bq=1024 with the FULL KV span per block and a ckv=512 chunked
+    exp2+PV epilogue — 52-58 TF/s hybrid across tunnel windows (46.5
+    in r3; ~2.4x the fused-XLA path).  A same-window
+    dots-only probe of the identical block structure measures ~57
+    TF/s: the base-2 softmax is now fully hidden behind the MXU and
+    the ceiling is the attention dot shapes themselves (K=dh=128
+    contraction / N=dh=128 output — see docs/ROADMAP.md r4 item 3 for
+    the negative results: q-stationary small-KV online blocks lose
+    15-45%, sequential-q KV residency is noise).  Causal keeps
+    bq=bkv=512 so the fully-masked-block skip saves its half of the
+    FLOPs."""
     b, s, dh = q.shape
+    if bq is None:
+        bq = 512 if causal else 1024
     if bkv is None:
         bkv = 512 if causal else 2048
     bq = min(bq, s)
     bkv = min(bkv, s)
     assert s % bq == 0 and s % bkv == 0, "seq not divisible by block"
-    scale = 1.0 / math.sqrt(dh)
+    # base-2 softmax: scale*log2(e) folds into Q outside the kernel —
+    # one [S,dh] multiply here replaces a per-[S,S]-score multiply
+    # inside, and the kernel's exponentials become native exp2
+    q = q * jnp.float32(_LOG2E / math.sqrt(dh))
+    single = not causal and bkv >= s
     if hybrid:
         # cast OUTSIDE the kernel: blocks stream at half bandwidth and
         # the QK^T / PV dots take bf16 operands with no in-kernel
@@ -227,10 +287,12 @@ def flash_attention(q, k, v, bq: int = 512, bkv: int | None = None,
         out_shape.append(jax.ShapeDtypeStruct((b, s, 128), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, bq, 128), lambda bi, qi, ki: (bi, qi, 0)))
+    if ckv is None:
+        ckv = 512 if single else 0
     r = pl.pallas_call(
-        functools.partial(_flash_kernel, bq=bq, bkv=bkv, scale=scale,
+        functools.partial(_flash_kernel, bq=bq, bkv=bkv,
                           causal=causal, save_lse=return_lse,
-                          hybrid=hybrid),
+                          hybrid=hybrid, single=single, ckv=ckv),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
@@ -239,7 +301,7 @@ def flash_attention(q, k, v, bq: int = 512, bkv: int | None = None,
         ],
         out_specs=out_specs if return_lse else out_specs[0],
         out_shape=out_shape if return_lse else out_shape[0],
-        scratch_shapes=[
+        scratch_shapes=[] if single else [
             pltpu.VMEM((bq, 128), jnp.float32),     # running max (col 0)
             pltpu.VMEM((bq, 128), jnp.float32),     # running denom (col 0)
             pltpu.VMEM((bq, dh), jnp.float32),      # output accumulator
