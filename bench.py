@@ -144,6 +144,14 @@ def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 7):
           flush=True)
     params, opt, loss = step(params, opt, x, y, key)     # compile
     float(loss)
+    # warm fold_in too: its own tiny jitted program compiles REMOTELY
+    # (~1.1 s on the tunnel) and used to land inside rep 0's window —
+    # the 31.8 ms outlier in mnist_cnn_ms_per_batch100_spread
+    # (BENCH_r03) was exactly this, not congestion (diag r4: rep 0
+    # step 0 dispatch = 1115 ms, every later step 3-10 ms)
+    params, opt, loss = step(params, opt, x, y,
+                             jax.random.fold_in(key, 0))
+    float(loss)
     ms_samples = []
     for r in range(reps):
         t0 = time.perf_counter()
