@@ -14,8 +14,12 @@ Methodology (VERDICT r2 #1/#3):
 * PRECISION honesty: the headline GEMM class is bf16-multiplicand /
   f32-accumulate — both the framework's gemm4 kernel (explicit bf16
   cast) and the XLA dot under default matmul precision truncate
-  multiplicands.  The true-f32 rate is reported separately as
-  `gemm3_f32_strict_gflops`.  The reference kernel being compared
+  multiplicands.  The f32-ACCURACY-class rate (bf16x3 3-pass, err
+  ~5e-6 vs an f64 oracle — tighter than XLA 'high') is reported as
+  `gemm_strict_3pass_gflops` with its in-window XLA-'high' control;
+  `gemm3_f32io_gflops` is the f32-I/O kernel in the default class
+  (r4 relabel — its dot was never 6-pass f32; see
+  tests/test_gemm_prec.py).  The reference kernel being compared
   against IS genuine f32 (src/t4math.cu:478-583).
 * every interactive metric is median-of-N (N>=5) with [min, max]
   spread in the JSON — the shared TPU tunnel swings 2x between
@@ -95,12 +99,32 @@ def bench_gemm_at(size: int, reps: int = 5):
         print(f"[bench] gemm4 @{size} failed: {e}", file=sys.stderr,
               flush=True)
     if size == 1024:
+        # r4 precision-honesty split (tests/test_gemm_prec.py): the
+        # variant-3 kernel's unpinned dot was lowering to single-pass
+        # bf16 all along (err ~3e-3 vs f64, NOT f32-strict).  Report
+        # both what it IS (f32-I/O, default class — with the r4 tiles)
+        # and the genuine f32-class 3-pass kernel with its in-window
+        # XLA 'high' control.
         try:
-            fns["f32_strict"] = compiled(
+            fns["f32io"] = compiled(
                 lambda a, x: mm_pallas(a, x, 3) * s,
-                f"pallas f32-strict gemm3 {size}^3")
+                f"pallas f32-I/O gemm3 {size}^3 (default class)")
         except Exception as e:
             print(f"[bench] gemm3 @{size} failed: {e}", file=sys.stderr,
+                  flush=True)
+        try:
+            from tensorforth_tpu.ops.gemm_pallas import _mm_pallas
+            fns["f32class_3pass"] = compiled(
+                lambda a, x: _mm_pallas(a, x, 512, 512, 1024,
+                                        prec="3pass") * s,
+                f"pallas bf16x3 3-pass {size}^3 (f32 class)")
+            fns["xla_high"] = compiled(
+                lambda a, x: jnp.dot(a, x,
+                                     preferred_element_type=jnp.float32,
+                                     precision="high") * s,
+                f"xla 'high' {size}^3 (f32 class control)")
+        except Exception as e:
+            print(f"[bench] 3pass @{size} failed: {e}", file=sys.stderr,
                   flush=True)
     # INTERLEAVED reps: each rep times every variant back-to-back, so
     # the hybrid/xla ratio is taken within one tunnel window — the
@@ -113,11 +137,19 @@ def bench_gemm_at(size: int, reps: int = 5):
             out[k].append(n_iter * 2.0 * size ** 3 / dt / 1e9)
         if "hybrid" in dts:
             out["hybrid_vs_xla_ratios"].append(dts["xla"] / dts["hybrid"])
+    out["strict_vs_xla_high_ratios"] = []
+    if "f32class_3pass" in fns:
+        for i in range(len(out["f32class_3pass"])):
+            out["strict_vs_xla_high_ratios"].append(
+                out["f32class_3pass"][i] / out["xla_high"][i])
     if "hybrid" not in fns:
         out["hybrid"] = [0.0]
         out["hybrid_vs_xla_ratios"] = [0.0]
-    if size == 1024 and "f32_strict" not in fns:
-        out["f32_strict"] = [0.0]
+    if size == 1024:
+        for key in ("f32io", "f32class_3pass", "xla_high"):
+            out.setdefault(key, [0.0])
+        if not out["strict_vs_xla_high_ratios"]:
+            out["strict_vs_xla_high_ratios"] = [0.0]
     return out
 
 
@@ -575,9 +607,18 @@ def main():
         details[f"gemm_hybrid_vs_xla_{size}"] = rm
         details[f"gemm_hybrid_vs_xla_{size}_spread"] = rs
         if size == 1024:
-            fm, fs = _med_spread(g["f32_strict"])
-            details["gemm3_f32_strict_gflops_med"] = fm
-            details["gemm3_f32_strict_spread"] = fs
+            fm, fs = _med_spread(g["f32io"])
+            details["gemm3_f32io_gflops_med"] = fm
+            details["gemm3_f32io_spread"] = fs
+            sm, ss = _med_spread(g["f32class_3pass"])
+            details["gemm_strict_3pass_gflops_med"] = sm
+            details["gemm_strict_3pass_spread"] = ss
+            gm, gs = _med_spread(g["xla_high"])
+            details["gemm_xla_high_gflops_med"] = gm
+            details["gemm_xla_high_spread"] = gs
+            tm, ts = _med_spread(g["strict_vs_xla_high_ratios"], 4)
+            details["gemm_strict_vs_xla_high"] = tm
+            details["gemm_strict_vs_xla_high_spread"] = ts
             headline = hm
 
     ms_steps, sps_epoch, scan_timer, nn_timer = bench_mnist()
@@ -669,8 +710,8 @@ def main():
 
     print(json.dumps({
         # precision-honest label: bf16 multiplicands, f32 accumulation
-        # (the XLA-default matmul class); the f32-strict rate is
-        # details["gemm3_f32_strict_gflops_med"].  The 671 GFLOP/s
+        # (the XLA-default matmul class); the f32-accuracy-class rate is
+        # details["gemm_strict_3pass_gflops_med"].  The 671 GFLOP/s
         # baseline kernel is genuine f32.
         "metric": ("GEMM 1024^3 bf16-multiplicand/f32-accum GFLOP/s "
                    "(XLA-default class; chained, synced, median of 5)"),

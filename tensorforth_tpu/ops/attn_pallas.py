@@ -32,11 +32,21 @@ def _dot(a, b, hybrid: bool):
     streams are cast OUTSIDE the kernel (half the HBM block bytes; the
     r3 GEMM sweeps showed in-kernel conversion LOSES) — the astype here
     is then a no-op for them and only converts the in-kernel f32
-    products (softmax probabilities, ds)."""
+    products (softmax probabilities, ds).
+
+    Precision is pinned to DEFAULT: Mosaic cannot lower the HIGH
+    (3-pass) setting, so a process-global
+    jax_default_matmul_precision='high' (T4_PRECISION=strict) leaking
+    into an unpinned dot crashes the kernel at trace time (r4 find —
+    see ops/gemm_pallas.py's class table).  For bf16 multiplicands the
+    pin is semantics-free (single-pass either way); the non-hybrid
+    path's multiplicands are likewise MXU-truncated to bf16 — 'f32'
+    there means f32 STREAMS + f32 statistics, not 3/6-pass dots."""
     if hybrid:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
 
 
 _LOG2E = 1.4426950408889634       # 1/ln 2

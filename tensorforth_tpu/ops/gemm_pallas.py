@@ -6,10 +6,12 @@ src/mu/tensor.cu:89-95).  The TPU equivalents:
 
   variant 2: single-pass block matmul — whole K panel resident in VMEM,
              grid over 128x128 output tiles.
-  variant 3: K-blocked accumulation — 3D grid with an f32 VMEM
-             accumulator scratch (the production shape).
-  variant 4: wide tiles (256x256xK512) with arbitrary-K dimension
-             semantics so Mosaic pipelines the K loop.
+  variant 3: f32-I/O K-blocked accumulation — 3D grid with an f32 VMEM
+             accumulator scratch; precision-CLASS-aware (the in-kernel
+             dot resolves 'default'/'3pass'/'highest' from the global
+             matmul precision — see the class table below).
+  variant 4: the production "hybrid" kernel — explicit bf16
+             multiplicands, manual-output DMA, fused scale.
 
 alpha/beta/transpose epilogue runs in XLA and fuses into the kernel's
 consumer.  Inputs are zero-padded to tile multiples and the result is
@@ -33,12 +35,68 @@ def _pad_to(x, m0, m1):
     return x
 
 
-def _mm_kernel(a_ref, b_ref, o_ref, acc):
+# ---------------------------------------------------------------------------
+# In-kernel MXU precision (r4 honesty fix).  Mosaic only lowers dots at
+# DEFAULT (single-pass bf16 multiplicands) and HIGHEST; the intermediate
+# HIGH (XLA's 3-pass bf16x3) raises NotImplementedError — so a
+# process-global jax_default_matmul_precision='high' (what
+# T4_PRECISION=strict sets) leaking into an unpinned in-kernel jnp.dot
+# CRASHES the kernel at trace time.  Every kernel dot below therefore
+# pins its precision explicitly:
+#   * bf16-multiplicand kernels pin DEFAULT (bf16 inputs are single-pass
+#     at any setting — semantics unchanged, lowering now deterministic);
+#   * the f32-I/O kernels resolve the active class once per call:
+#       'default' — single-pass (MXU truncates multiplicands to bf16;
+#                   the same class as XLA's default-precision f32 dot),
+#       '3pass'   — manual bf16x3 split-accumulate (err ~5e-6 at 1024^3
+#                   vs 1.5e-5 for the XLA 'high' dot, measured speed
+#                   parity at ~44 TF/s — Mosaic has no native HIGH, so
+#                   the split a=ah+al, b=bh+bl / 3-dot form is ours),
+#       'highest' — pinned Precision.HIGHEST (genuine f32 class,
+#                   err ~2-3e-7; parity with the XLA 'highest' dot at
+#                   ~25 TF/s on one v5e).
+# ---------------------------------------------------------------------------
+_P_DEFAULT = jax.lax.Precision.DEFAULT
+_P_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _prec_class() -> str:
+    """map the process-global default matmul precision (which
+    T4_PRECISION=strict sets to 'high') onto the kernel classes"""
+    v = jax.config.jax_default_matmul_precision
+    if v in ("high", "tensorfloat32", "BF16_BF16_F32_X3",
+             "TF32_TF32_F32", "TF32_TF32_F32_X3"):
+        return "3pass"
+    if v in ("highest", "float32", "F32_F32_F32", "F64_F64_F64",
+             "BF16_BF16_F32_X6", "BF16_BF16_F32_X9"):
+        return "highest"
+    return "default"
+
+
+def _kdot(a, b, prec: str = "default"):
+    """precision-pinned in-kernel dot (see the class table above)"""
+    if prec == "3pass":
+        f32 = jnp.float32
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(f32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(f32)).astype(jnp.bfloat16)
+        return (jnp.dot(ah, bh, preferred_element_type=f32,
+                        precision=_P_DEFAULT)
+                + jnp.dot(ah, bl, preferred_element_type=f32,
+                          precision=_P_DEFAULT)
+                + jnp.dot(al, bh, preferred_element_type=f32,
+                          precision=_P_DEFAULT))
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_P_HIGHEST if prec == "highest" else _P_DEFAULT)
+
+
+def _mm_kernel(a_ref, b_ref, o_ref, acc, *, prec: str = "default"):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    acc[:] += jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+    acc[:] += _kdot(a_ref[:], b_ref[:], prec)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _flush():
@@ -52,17 +110,18 @@ def _mm_kernel_bf16(a_ref, b_ref, o_ref, acc):
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    acc[:] += jnp.dot(a_ref[:].astype(jnp.bfloat16),
-                      b_ref[:].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+    acc[:] += _kdot(a_ref[:].astype(jnp.bfloat16),
+                    b_ref[:].astype(jnp.bfloat16))
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _flush():
         o_ref[:] = acc[:]
 
 
-@partial(jax.jit, static_argnames=("bm", "bn", "bk", "bf16"))
-def _mm_pallas(a, b, bm: int, bn: int, bk: int, bf16: bool = False):
+@partial(jax.jit,
+         static_argnames=("bm", "bn", "bk", "bf16", "prec", "interpret"))
+def _mm_pallas(a, b, bm: int, bn: int, bk: int, bf16: bool = False,
+               prec: str = "default", interpret: bool = False):
     m, k = a.shape
     _, n = b.shape
     a = _pad_to(a, bm, bk)
@@ -71,7 +130,7 @@ def _mm_pallas(a, b, bm: int, bn: int, bk: int, bf16: bool = False):
     _, np_ = b.shape
     grid = (mp // bm, np_ // bn, kp // bk)
     out = pl.pallas_call(
-        _mm_kernel_bf16 if bf16 else _mm_kernel,
+        _mm_kernel_bf16 if bf16 else partial(_mm_kernel, prec=prec),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
@@ -88,6 +147,7 @@ def _mm_pallas(a, b, bm: int, bn: int, bk: int, bf16: bool = False):
             bytes_accessed=(mp * kp + kp * np_ + mp * np_) * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(a, b)
     return out[:m, :n]
 
@@ -130,8 +190,7 @@ def _mm_kernel_db(a_hbm, b_hbm, o_ref, bk: int):
 
             for d in get_dma(slot, idx):
                 d.wait()
-            return acc + jnp.dot(a_buf[slot], b_buf[slot],
-                                 preferred_element_type=jnp.float32)
+            return acc + _kdot(a_buf[slot], b_buf[slot])
 
         acc0 = jnp.zeros(o_ref.shape, jnp.float32)
         o_ref[:] = jax.lax.fori_loop(0, n_slabs, loop, acc0)
@@ -198,8 +257,7 @@ def _v8_kernel(bm: int, bn: int):
         def _init():
             acc[:] = jnp.zeros_like(acc)
 
-        acc[:] += jnp.dot(a_ref[:], b_ref[:],
-                          preferred_element_type=jnp.float32)
+        acc[:] += _kdot(a_ref[:], b_ref[:])
 
         @pl.when(kk == nk - 1)
         def _flush():
@@ -260,7 +318,8 @@ def mm_pallas(a, b, variant: int = 3, scale: float = 1.0):
     _, n = b.shape
     if variant == 2:
         r = _mm_pallas(a, b, _clamp(m, 256), _clamp(n, 256),
-                       max(k, 128) if k <= 2048 else 1024)
+                       max(k, 128) if k <= 2048 else 1024,
+                       prec=_prec_class())
         return r * scale if scale != 1.0 else r
     if variant == 4:
         def tile(v, cap=1024):
@@ -294,8 +353,32 @@ def mm_pallas(a, b, variant: int = 3, scale: float = 1.0):
             bm, bn = tile(m, 512), tile(n, 512)
             bk = max(min(k, 512), 128)
         return _mm_pallas_v8(a, b, jnp.float32(scale), bm, bn, bk)
-    r = _mm_pallas(a, b, _clamp(m, 256), _clamp(n, 256),
-                   1024 if k >= 1024 else max(k, 128))
+    # variant 3 (f32-I/O) tiles, r4 sweep (scripts/sweep_gemm_r4b.py,
+    # interleaved reps on the real chip).  Default class: wide-N
+    # 512x1024 output tiles beat the old 256x256 everywhere big —
+    # 106->135 TF/s at 1024^3 (fully-resident B: grid (m/512,1,1)),
+    # 91->115 at 2048^3, 44->99 at 4096^3.  bk drops to 512 whenever N
+    # or K streams: the resident (512,1024,1024) shape OOMs scoped VMEM
+    # (18 MB > 16) once the j/kk grid dims stop being singletons and
+    # double buffering kicks in.  The strict classes carry more
+    # per-tile state (3 dots / 6-pass), so they keep narrower tiles:
+    # 3pass best (512,512,1024) = 44.2 TF/s, highest best
+    # (256,512,1024) = 25.2 — both parity with the XLA dot of the same
+    # class (44.3 / 26.2), with 3pass numerically TIGHTER (5e-6 vs
+    # 1.5e-5 max-rel at 1024^3 against an f64 oracle).
+    prec = _prec_class()
+    if prec == "default" and m >= 512 and n >= 1024 and k >= 1024:
+        bk = 1024 if (n == 1024 and k == 1024) else 512
+        r = _mm_pallas(a, b, 512, 1024, bk)
+    elif prec == "3pass" and m >= 512 and n >= 512 and k >= 512:
+        r = _mm_pallas(a, b, 512, 512, 1024 if k >= 1024 else 512,
+                       prec=prec)
+    elif prec == "highest" and m >= 256 and n >= 512 and k >= 512:
+        r = _mm_pallas(a, b, 256, 512, 1024 if k >= 1024 else 512,
+                       prec=prec)
+    else:
+        r = _mm_pallas(a, b, _clamp(m, 256), _clamp(n, 256),
+                       1024 if k >= 1024 else max(k, 128), prec=prec)
     return r * scale if scale != 1.0 else r
 
 
