@@ -51,8 +51,10 @@ def _med_spread(xs, nd=1):
 
 def bench_gemm_at(size: int, reps: int = 5):
     """per-size chained GEMM rates: returns dict of lists of GFLOP/s
-    samples for 'xla', 'hybrid' (gemm4) and, at 1024 only,
-    'f32_strict' (gemm3).  n_iter sized so device time >> the ~25 ms
+    samples for 'xla', 'hybrid' (gemm4) and, at 1024 only, 'f32io'
+    (gemm3, default class), 'f32class_3pass' (bf16x3 manual 3-pass —
+    genuine f32-accuracy class) and its in-window 'xla_high' control.
+    n_iter sized so device time >> the ~25 ms
     tunnel readback RTT."""
     import jax
     import jax.numpy as jnp
@@ -115,7 +117,7 @@ def bench_gemm_at(size: int, reps: int = 5):
         try:
             from tensorforth_tpu.ops.gemm_pallas import _mm_pallas
             fns["f32class_3pass"] = compiled(
-                lambda a, x: _mm_pallas(a, x, 512, 512, 1024,
+                lambda a, x: _mm_pallas(a, x, 256, 1024, 1024,
                                         prec="3pass") * s,
                 f"pallas bf16x3 3-pass {size}^3 (f32 class)")
             fns["xla_high"] = compiled(
@@ -414,7 +416,9 @@ def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
     """flash-attention kernels vs the fused XLA einsum path at a
     serving shape ([batch*heads, S, dh]); returns dict of TFLOP/s
     sample lists over the 4*NH*S^2*dh attention FLOPs: 'hybrid'
-    (bf16-multiplicand flash), 'f32_strict' (f32 flash), 'xla'."""
+    (bf16-multiplicand flash), 'f32stream' (f32 streams + f32 softmax
+    statistics; multiplicands are MXU-truncated either way — r4 honest
+    relabel, see ops/attn_pallas.py _dot), 'xla'."""
     import jax
     import jax.numpy as jnp
     from tensorforth_tpu.ops.attn_pallas import flash_attention
@@ -457,7 +461,7 @@ def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
         print(f"[bench] hybrid flash failed: {e}", file=sys.stderr,
               flush=True)
     try:
-        fns["f32_strict"] = compiled(
+        fns["f32stream"] = compiled(
             lambda q, k, v: flash_attention(q, k, v), "pallas-flash f32")
     except Exception as e:
         print(f"[bench] f32 flash failed: {e}", file=sys.stderr,
@@ -471,7 +475,7 @@ def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
             t0 = time.perf_counter()
             float(fn(q, k, v)[0, 0, 0])
             out[name].append(flops / (time.perf_counter() - t0) / 1e12)
-    for name in ("hybrid", "f32_strict"):
+    for name in ("hybrid", "f32stream"):
         if name not in out:
             out[name] = [0.0]
     return out
@@ -682,7 +686,7 @@ def main():
 
     try:
         at = bench_attention()
-        for name in ("hybrid", "f32_strict", "xla"):
+        for name in ("hybrid", "f32stream", "xla"):
             m, s = _med_spread(at[name])
             details[f"flash_attn_2k_{name}_tflops_med"] = m
             details[f"flash_attn_2k_{name}_spread"] = s

@@ -370,6 +370,14 @@ def mm_pallas(a, b, variant: int = 3, scale: float = 1.0):
     if prec == "default" and m >= 512 and n >= 1024 and k >= 1024:
         bk = 1024 if (n == 1024 and k == 1024) else 512
         r = _mm_pallas(a, b, 512, 1024, bk)
+    elif prec == "3pass" and m >= 256 and n == 1024 and k == 1024:
+        # 3pass winner at the resident shape (grid (m/256,1,1), B panel
+        # fetched once): med 56.8 TF/s, interleaved ratio vs the XLA
+        # 'high' dot 1.011 [1.008, 1.065] at 1024^3 — BEATS the stock
+        # 3-pass with tighter error.  Streaming shapes OOM this tile
+        # (double buffering on non-singleton j/kk), so they fall to
+        # (512,512,*) below at ~0.96x.
+        r = _mm_pallas(a, b, 256, 1024, 1024, prec=prec)
     elif prec == "3pass" and m >= 512 and n >= 512 and k >= 512:
         r = _mm_pallas(a, b, 512, 512, 1024 if k >= 1024 else 512,
                        prec=prec)
