@@ -150,13 +150,17 @@ def main(argv=None):
                     help="run an MxKxN GEMM benchmark and exit "
                          "(reference opt.h GEMM bench dims)")
     ap.add_argument("--vu", metavar="CORPUS", default=None,
-                    help="interactive terminal corpus viewer "
+                    help="interactive corpus viewer: an X11 window when "
+                         "a display is reachable (io/gui.py, reference "
+                         "src/vu/gui.cpp), else the ANSI terminal loop "
                          "(e.g. --vu mnist_train; reference src/vu/)")
     args = ap.parse_args(argv)
 
     if args.vu:
-        from .io.vu import vu_loop
-        vu_loop(args.vu)
+        from .io.gui import vu_window
+        if vu_window(args.vu) < 0:           # no X display: terminal loop
+            from .io.vu import vu_loop
+            vu_loop(args.vu)
         return 0
 
     if args.list_devices:
