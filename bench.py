@@ -481,6 +481,76 @@ def bench_attention(nh: int = 16, s: int = 2048, dh: int = 128,
     return out
 
 
+def bench_attention_bwd(nh: int = 16, s: int = 2048, dh: int = 128,
+                        n_iter: int = 24, reps: int = 9):
+    """flash-attention BACKWARD kernels vs jax.grad of the fused XLA
+    attention.  TFLOP/s over the CONVENTIONAL backward FLOPs
+    (5 dots = 10*NH*S^2*dh); the two-kernel split issues 7 dots, so the
+    MXU itself runs ~1.4x the reported rate (ops/attn_pallas.py
+    flash_attention_bwd docstring).  Chains by feeding dq back as the
+    next upstream gradient so the scan stays data-dependent."""
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.ops.attn_pallas import (flash_attention,
+                                                 flash_attention_bwd)
+
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    q = jax.random.normal(ks[0], (nh, s, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (nh, s, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (nh, s, dh), jnp.float32)
+    do0 = jax.random.normal(ks[3], (nh, s, dh), jnp.float32)
+    o, lse = flash_attention(q, k, v, return_lse=True, hybrid=True)
+    o = jax.block_until_ready(o)
+    flops = 10.0 * nh * s * s * dh * n_iter
+
+    def xla_attn(q, k, v):
+        sc = jnp.einsum("nqd,nkd->nqk", q, k,
+                        preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(sc / jnp.sqrt(jnp.float32(dh)), axis=-1)
+        return jnp.einsum("nqk,nkd->nqd", w, v,
+                          preferred_element_type=jnp.float32)
+
+    def xla_bwd(q, k, v, o, lse, do):
+        _, vjp = jax.vjp(xla_attn, q, k, v)
+        return vjp(do)
+
+    def chain(f):
+        @jax.jit
+        def run(q, k, v, o, lse, do):
+            def body(do, _):
+                dq, _dk, _dv = f(q, k, v, o, lse, do)
+                return dq, None
+            do, _ = jax.lax.scan(body, do, None, length=n_iter)
+            return do
+        return run
+
+    fns = {}
+    try:
+        fn = chain(lambda *a: flash_attention_bwd(*a, hybrid=True))
+        print("[bench] compiling attention bwd hybrid ...",
+              file=sys.stderr, flush=True)
+        float(fn(q, k, v, o, lse, do0)[0, 0, 0])
+        fns["hybrid"] = fn
+    except Exception as e:
+        print(f"[bench] hybrid flash bwd failed: {e}", file=sys.stderr,
+              flush=True)
+    fn = chain(xla_bwd)
+    print("[bench] compiling attention bwd xla ...", file=sys.stderr,
+          flush=True)
+    float(fn(q, k, v, o, lse, do0)[0, 0, 0])
+    fns["xla"] = fn
+
+    out = {name: [] for name in fns}
+    for _ in range(reps):
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            float(fn(q, k, v, o, lse, do0)[0, 0, 0])
+            out[name].append(flops / (time.perf_counter() - t0) / 1e12)
+    if "hybrid" not in out:
+        out["hybrid"] = [0.0]
+    return out
+
+
 def bench_serving(batch: int = 8, n_prompt: int = 32, n_new: int = 224,
                   reps: int = 5):
     """LM decode throughput: KV-cache autoregressive generation
@@ -692,6 +762,16 @@ def main():
             details[f"flash_attn_2k_{name}_spread"] = s
     except Exception as e:
         print(f"[bench] attention failed: {e}", file=sys.stderr,
+              flush=True)
+
+    try:
+        ab = bench_attention_bwd()
+        for name in ("hybrid", "xla"):
+            m, s = _med_spread(ab[name])
+            details[f"flash_attn_bwd_2k_{name}_tflops_med"] = m
+            details[f"flash_attn_bwd_2k_{name}_spread"] = s
+    except Exception as e:
+        print(f"[bench] attention bwd failed: {e}", file=sys.stderr,
               flush=True)
 
     if os.environ.get("T4_BENCH_GATE", "1") != "0":    # default ON

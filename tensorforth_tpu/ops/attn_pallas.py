@@ -57,8 +57,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest,
                   bq: int, bkv: int, causal: bool,
                   save_lse: bool, hybrid: bool = False,
                   single: bool = False, ckv: int = 0):
-    """VPU-softmax cost is the forward's bound (the dots run ~80 TF/s
-    in the backward), so the softmax is computed in the BASE-2 domain:
+    """VPU-softmax cost is the forward's bound (a dots-only probe of
+    the same block structure runs ~57 TF/s), so the softmax is
+    computed in the BASE-2 domain:
     flash_attention pre-folds scale*log2(e) into Q, the kernel uses the
     native exp2 (jnp.exp costs an extra log2e multiply per element on
     the VPU) and the per-score `* scale` disappears entirely (one
@@ -150,11 +151,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, *rest,
                 lse_ref[0].shape)
 
 
-def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
                           dk_ref, dv_ref, dk_sc, dv_sc,
-                          *, bq: int, bkv: int, scale: float,
-                          causal: bool, hybrid: bool = False):
-    """dK/dV: grid (B, n_kv, n_q) — kv block stationary, q blocks stream"""
+                          *, bq: int, bkv: int, causal: bool,
+                          hybrid: bool = False):
+    """dK/dV: grid (B, n_kv, n_q) — kv block stationary, q blocks stream.
+
+    r4b VPU diet, mirroring the forward's base-2 treatment: the caller
+    pre-folds scale*log2(e) into Q and converts lse to base 2, so the
+    probability recompute is a native exp2 with NO per-score multiply;
+    delta = Σ do·o is precomputed outside (kills the per-(q,kv)-pair
+    [bq,dh] multiply+reduce AND the o stream); the ln2 that converts
+    dsᵀ·q2 back to scale·dsᵀ·q is applied once at flush."""
     kv_i = pl.program_id(1)
     q_i = pl.program_id(2)
 
@@ -164,25 +172,24 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_sc[:] = jnp.zeros_like(dv_sc)
 
     def compute():
-        q = q_ref[0]                                # [bq, dh]
+        q2 = q_ref[0]                               # [bq, dh] base-2 scaled
         k = k_ref[0]                                # [bkv, dh]
         v = v_ref[0]
         do = do_ref[0]
-        o = o_ref[0]
-        lse = lse_ref[0][:, 0:1]                    # [bq, 1]
-        s = _dot(q, k.T, hybrid) * scale
+        lse2 = lse_ref[0][:, 0:1]                   # [bq, 1] base-2 lse
+        delta = d_ref[0][:, 0:1]                    # [bq, 1] Σ do·o
+        s2 = _dot(q2, k.T, hybrid)                  # base-2 scores
         if causal:
             rows = q_i * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 0)
             cols = kv_i * bkv + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 1)
-            s = jnp.where(cols <= rows, s, NEG_INF)
-        p = jnp.exp(s - lse)                        # [bq, bkv] exact probs
+            s2 = jnp.where(cols <= rows, s2, NEG_INF)
+        p = jnp.exp2(s2 - lse2)                     # [bq, bkv] exact probs
         dv_sc[:] += _dot(p.T, do, hybrid)
         dp = _dot(do, v.T, hybrid)
-        delta = jnp.sum(do * o, axis=-1, keepdims=True)   # [bq, 1]
-        ds = p * (dp - delta)
-        dk_sc[:] += scale * _dot(ds.T, q, hybrid)
+        ds = p * (dp - delta)                       # nats-domain ds
+        dk_sc[:] += _dot(ds.T, q2, hybrid)
 
     if causal:
         @pl.when(kv_i * bkv <= q_i * bq + bq - 1)
@@ -193,15 +200,18 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
     @pl.when(q_i == pl.num_programs(2) - 1)
     def _flush():
-        dk_ref[0] = dk_sc[:]
+        # dsᵀ·q2 = (scale·log2e)·dsᵀ·q, so ·ln2 restores scale·dsᵀ·q
+        dk_ref[0] = dk_sc[:] * _LN2
         dv_ref[0] = dv_sc[:]
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
                          dq_ref, dq_sc,
                          *, bq: int, bkv: int, scale: float,
                          causal: bool, hybrid: bool = False):
-    """dQ: grid (B, n_q, n_kv) — q block stationary, kv blocks stream"""
+    """dQ: grid (B, n_q, n_kv) — q block stationary, kv blocks stream.
+    Same base-2 recompute as the dK/dV kernel; the `scale` on
+    dq = scale·ds·k is applied once at flush."""
     q_i = pl.program_id(1)
     kv_i = pl.program_id(2)
 
@@ -210,24 +220,23 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dq_sc[:] = jnp.zeros_like(dq_sc)
 
     def compute():
-        q = q_ref[0]
+        q2 = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0]
-        o = o_ref[0]
-        lse = lse_ref[0][:, 0:1]
-        s = _dot(q, k.T, hybrid) * scale
+        lse2 = lse_ref[0][:, 0:1]
+        delta = d_ref[0][:, 0:1]
+        s2 = _dot(q2, k.T, hybrid)
         if causal:
             rows = q_i * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 0)
             cols = kv_i * bkv + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bkv), 1)
-            s = jnp.where(cols <= rows, s, NEG_INF)
-        p = jnp.exp(s - lse)
+            s2 = jnp.where(cols <= rows, s2, NEG_INF)
+        p = jnp.exp2(s2 - lse2)
         dp = _dot(do, v.T, hybrid)
-        delta = jnp.sum(do * o, axis=-1, keepdims=True)
         ds = p * (dp - delta)
-        dq_sc[:] += scale * _dot(ds, k, hybrid)
+        dq_sc[:] += _dot(ds, k, hybrid)
 
     if causal:
         @pl.when(kv_i * bkv <= q_i * bq + bq - 1)
@@ -238,7 +247,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
     @pl.when(kv_i == pl.num_programs(2) - 1)
     def _flush():
-        dq_ref[0] = dq_sc[:]
+        dq_ref[0] = dq_sc[:] * scale
 
 
 @functools.partial(jax.jit,
@@ -267,14 +276,16 @@ def flash_attention(q, k, v, bq: int | None = None,
     the ceiling is the attention dot shapes themselves (K=dh=128
     contraction / N=dh=128 output — see docs/ROADMAP.md r4 item 3 for
     the negative results: q-stationary small-KV online blocks lose
-    15-45%, sequential-q KV residency is noise).  Causal keeps
-    bq=bkv=512 so the fully-masked-block skip saves its half of the
-    FLOPs."""
+    15-45%, sequential-q KV residency is noise).  Causal uses
+    bq=bkv=1024 (r4b sweep: 22.7 TF/s over the halved FLOPs vs 19.4
+    at r3's 512x512 — fewer block revisits beat the finer-grained
+    masked-block skip; 2048q loses, scripts/sweep_attn_r4b.py
+    fwd-causal)."""
     b, s, dh = q.shape
     if bq is None:
-        bq = 512 if causal else 1024
+        bq = 1024
     if bkv is None:
-        bkv = 512 if causal else 2048
+        bkv = 1024 if causal else 2048
     bq = min(bq, s)
     bkv = min(bkv, s)
     assert s % bq == 0 and s % bkv == 0, "seq not divisible by block"
@@ -332,21 +343,51 @@ def flash_attention(q, k, v, bq: int | None = None,
 @functools.partial(jax.jit,
                    static_argnames=("bq", "bkv", "causal", "interpret",
                                     "hybrid"))
-def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
-                        bkv: int = 256, causal: bool = False,
+def flash_attention_bwd(q, k, v, o, lse, do, bq: int | None = None,
+                        bkv: int | None = None, causal: bool = False,
                         interpret: bool = False, hybrid: bool = False):
     """flash backward: (dq, dk, dv) without materializing S x S in HBM.
     Two kernels — dK/dV with the KV block stationary and dQ with the Q
     block stationary — each recomputes its probability tile from the
-    saved log-sum-exp (`lse` from flash_attention(return_lse=True))."""
+    saved log-sum-exp (`lse` from flash_attention(return_lse=True)).
+
+    r4b tuning round (the forward's base-2 treatment applied to the
+    backward): scale·log2e folds into Q and lse converts to base 2
+    OUT HERE (two [S,dh]/[S,128] passes replace per-[S,S]-score work
+    inside), the probability recompute is native exp2, delta = Σ do·o
+    is ONE precomputed [S,128] stream instead of a per-block-pair
+    [bq,dh] multiply+reduce of the o stream, and the scalar constants
+    (ln2 on dK, scale on dQ) apply once at flush.
+
+    Measured (S=2048, dh=128, B=16, v5e; TF/s over the CONVENTIONAL
+    10·B·S²·dh backward FLOPs — the two-kernel split issues 7 dots
+    = 14·B·S²·dh, so the MXU itself runs 1.4x the reported rate; r3's
+    "~80 TF/s" used the issued-dot normalization): old kernel at its
+    256x256 default 49.8; same old kernel at 512x512 58.1 — block
+    revisit traffic, not the VPU, was the dominant bound — and this
+    kernel at the new bq=1024/bkv=512 default 60-61 non-causal
+    (~2.2x XLA autodiff), 31.3 causal over the halved FLOPs (~2.3x
+    XLA).  1024x1024 and 256qx2048kv tie within noise; the sweep is
+    scripts/sweep_attn_r4b.py."""
     b, s, dh = q.shape
+    if bq is None:
+        bq = 1024
+    if bkv is None:
+        bkv = 512
     bq = min(bq, s)
     bkv = min(bkv, s)
     scale = 1.0 / math.sqrt(dh)
+    # base-2 pre-scale (see flash_attention): q2 rows dotted with k give
+    # base-2 scores; lse2 converts the saved nats-lse to the same domain
+    q2 = q * jnp.float32(scale * _LOG2E)
+    lse2 = lse * jnp.float32(_LOG2E)
+    # delta = Σ do·o in f32 BEFORE any hybrid cast (feeds every ds and
+    # wants full precision), lane-broadcast like lse
+    delta = jnp.broadcast_to(
+        jnp.sum(do * o, axis=-1, keepdims=True), lse.shape)
     if hybrid:
-        # outside-the-kernel casts (see flash_attention); o stays f32 —
-        # delta = Σ do·o feeds every ds and wants full precision
-        q = q.astype(jnp.bfloat16)
+        # outside-the-kernel casts (see flash_attention)
+        q2 = q2.astype(jnp.bfloat16)
         k = k.astype(jnp.bfloat16)
         v = v.astype(jnp.bfloat16)
         do = do.astype(jnp.bfloat16)
@@ -356,9 +397,9 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
     lse_at = pl.BlockSpec((1, bq, 128), lambda bi, ki, qi: (bi, qi, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, bq=bq, bkv=bkv,
-                          scale=scale, causal=causal, hybrid=hybrid),
+                          causal=causal, hybrid=hybrid),
         grid=(b, s // bkv, s // bq),
-        in_specs=[q_at, kv_at, kv_at, q_at, q_at, lse_at],
+        in_specs=[q_at, kv_at, kv_at, q_at, lse_at, lse_at],
         out_specs=[
             pl.BlockSpec((1, bkv, dh), lambda bi, ki, qi: (bi, ki, 0)),
             pl.BlockSpec((1, bkv, dh), lambda bi, ki, qi: (bi, ki, 0)),
@@ -372,12 +413,12 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=(3 if causal else 6) * b * s * s * dh,
-            bytes_accessed=5 * b * s * dh * 4,
+            flops=(4 if causal else 8) * b * s * s * dh,
+            bytes_accessed=6 * b * s * dh * 4,
             transcendentals=b * s * s // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(q, k, v, o, do, lse)
+    )(q2, k, v, do, lse2, delta)
 
     q_at2 = pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0))
     kv_at2 = pl.BlockSpec((1, bkv, dh), lambda bi, qi, ki: (bi, ki, 0))
@@ -386,7 +427,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
         functools.partial(_flash_bwd_dq_kernel, bq=bq, bkv=bkv,
                           scale=scale, causal=causal, hybrid=hybrid),
         grid=(b, s // bq, s // bkv),
-        in_specs=[q_at2, kv_at2, kv_at2, q_at2, q_at2, lse_at2],
+        in_specs=[q_at2, kv_at2, kv_at2, q_at2, lse_at2, lse_at2],
         out_specs=pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, dh), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
@@ -394,10 +435,10 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int = 256,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=(2 if causal else 4) * b * s * s * dh,
-            bytes_accessed=5 * b * s * dh * 4,
+            flops=(3 if causal else 6) * b * s * s * dh,
+            bytes_accessed=6 * b * s * dh * 4,
             transcendentals=b * s * s // (2 if causal else 1),
         ),
         interpret=interpret,
-    )(q, k, v, o, do, lse)
+    )(q2, k, v, do, lse2, delta)
     return dq, dk, dv
