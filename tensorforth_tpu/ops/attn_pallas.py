@@ -345,7 +345,8 @@ def flash_attention(q, k, v, bq: int | None = None,
                                     "hybrid"))
 def flash_attention_bwd(q, k, v, o, lse, do, bq: int | None = None,
                         bkv: int | None = None, causal: bool = False,
-                        interpret: bool = False, hybrid: bool = False):
+                        interpret: bool = False, hybrid: bool = False,
+                        dlse=None):
     """flash backward: (dq, dk, dv) without materializing S x S in HBM.
     Two kernels — dK/dV with the KV block stationary and dQ with the Q
     block stationary — each recomputes its probability tile from the
@@ -385,6 +386,11 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int | None = None,
     # wants full precision), lane-broadcast like lse
     delta = jnp.broadcast_to(
         jnp.sum(do * o, axis=-1, keepdims=True), lse.shape)
+    if dlse is not None:
+        # lse cotangent (ring-attention merge differentiates through the
+        # per-chunk lse): ds = p·(dp − δ + dlse) = p·(dp − (δ − dlse)),
+        # so it folds into the delta stream — zero kernel cost
+        delta = delta - jnp.broadcast_to(dlse[..., None], lse.shape)
     if hybrid:
         # outside-the-kernel casts (see flash_attention)
         q2 = q2.astype(jnp.bfloat16)
@@ -442,3 +448,41 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int | None = None,
         interpret=interpret,
     )(q2, k, v, do, lse2, delta)
     return dq, dk, dv
+
+
+# ===========================================================================
+# differentiable (o, lse) pairing — the ring-attention chunk core
+# ===========================================================================
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_lse(q, k, v, causal: bool = False,
+                        hybrid: bool = False, interpret: bool = False):
+    """flash attention that RETURNS (o, lse[B,S] in nats) and is
+    differentiable in both outputs.  A raw pallas_call has no autodiff
+    rule, so anything that consumes the per-chunk lse — the ring
+    attention softmax merge (parallel/ring.py) — must differentiate
+    through THIS wrapper: the lse cotangent folds into the backward
+    kernels' delta stream (ds = p·(dp − (δ − dlse)); see
+    flash_attention_bwd), costing nothing in-kernel.  Without it,
+    jax.grad of ring attention on flash-eligible shapes raises at
+    trace time (latent until a real sp≥2 TPU topology — CPU tests take
+    the einsum fallback)."""
+    o, lse3 = flash_attention(q, k, v, causal=causal, return_lse=True,
+                              hybrid=hybrid, interpret=interpret)
+    return o, lse3[:, :, 0]
+
+
+def _fal_fwd(q, k, v, causal, hybrid, interpret):
+    o, lse3 = flash_attention(q, k, v, causal=causal, return_lse=True,
+                              hybrid=hybrid, interpret=interpret)
+    return (o, lse3[:, :, 0]), (q, k, v, o, lse3)
+
+
+def _fal_bwd(causal, hybrid, interpret, res, cts):
+    q, k, v, o, lse3 = res
+    do, dlse = cts
+    return flash_attention_bwd(q, k, v, o, lse3, do, causal=causal,
+                               hybrid=hybrid, interpret=interpret,
+                               dlse=dlse)
+
+
+flash_attention_lse.defvjp(_fal_fwd, _fal_bwd)

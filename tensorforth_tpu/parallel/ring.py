@@ -32,15 +32,17 @@ NEG_INF = -1.0e30
 
 def _chunk_attn(q, k, v, causal: bool):
     """chunk-normalized attention + per-row lse; q [B,Sq,dh], k/v
-    [B,Skv,dh].  Uses the flash kernels when eligible."""
+    [B,Skv,dh].  Uses the flash kernels when eligible — through the
+    differentiable (o, lse) wrapper, because the merge consumes lse and
+    training differentiates through it (a raw pallas_call has no
+    autodiff rule; the lse cotangent rides the backward kernels' delta
+    stream, ops/attn_pallas.py flash_attention_lse)."""
     from ..nn.funcs import _flash_ok
     b, sq, dh = q.shape
     skv = k.shape[1]
     if sq == skv and _flash_ok(sq, dh):
-        from ..ops.attn_pallas import flash_attention
-        o, lse3 = flash_attention(q, k, v, causal=causal,
-                                  return_lse=True)
-        return o, lse3[:, :, 0]
+        from ..ops.attn_pallas import flash_attention_lse
+        return flash_attention_lse(q, k, v, causal)
     sc = jnp.einsum("nqd,nkd->nqk", q, k,
                     preferred_element_type=jnp.float32)
     sc = sc / jnp.sqrt(jnp.float32(dh))

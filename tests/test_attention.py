@@ -223,3 +223,55 @@ def test_flash_hybrid_interpret_close_to_f32(t4):
             scale = np.max(np.abs(np.asarray(w))) + 1e-9
             assert err / scale < 0.05, \
                 f"hybrid bwd {nm} causal={causal}: rel err {err/scale:.3g}"
+
+
+def test_flash_lse_wrapper_grad_matches_autodiff(t4):
+    """flash_attention_lse (the ring-attention chunk core) must be
+    differentiable in BOTH outputs: the lse cotangent folds into the
+    backward kernels' delta stream (ds = p·(dp − (δ − dlse))).  Pin
+    against jax.grad of the exact einsum (o, lse) computation with a
+    loss that touches o AND lse — this is the path a real sp>=2 ring
+    topology trains through (raw pallas_call has no autodiff rule)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.ops.attn_pallas import flash_attention_lse
+
+    ks = jax.random.split(jax.random.PRNGKey(17), 3)
+    b, s, dh = 2, 512, 128
+    q = jax.random.normal(ks[0], (b, s, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, dh), jnp.float32)
+
+    def ref_pair(q_, k_, v_, causal):
+        sc = jnp.einsum("nqd,nkd->nqk", q_, k_,
+                        preferred_element_type=jnp.float32)
+        sc = sc / jnp.sqrt(jnp.float32(dh))
+        if causal:
+            qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            sc = jnp.where(ki <= qi, sc, -1.0e30)
+        lse = jax.scipy.special.logsumexp(sc, axis=-1)
+        o = jnp.einsum("nqk,nkd->nqd", jax.nn.softmax(sc, axis=-1), v_,
+                       preferred_element_type=jnp.float32)
+        return o, lse
+
+    def loss(pair_fn):
+        def f(q_, k_, v_):
+            o, lse = pair_fn(q_, k_, v_)
+            # touch both outputs: dlse is a dense nonzero cotangent
+            return jnp.sum(o ** 2) + jnp.sum(jnp.sin(lse))
+        return f
+
+    for causal in (False, True):
+        got = jax.grad(loss(
+            lambda q_, k_, v_: flash_attention_lse(
+                q_, k_, v_, causal, False, True)),    # interpret mode
+            argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(loss(
+            lambda q_, k_, v_: ref_pair(q_, k_, v_, causal)),
+            argnums=(0, 1, 2))(q, k, v)
+        for g, w, nm in zip(got, want, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=3e-4, atol=3e-4,
+                err_msg=f"lse-wrapper grad {nm} (causal={causal})")
