@@ -42,6 +42,7 @@ _XCB_WINDOW_CLASS_INPUT_OUTPUT = 1
 _XCB_CW_BACK_PIXEL = 1 << 1
 _XCB_CW_EVENT_MASK = 1 << 11
 _XCB_EVENT_MASK_KEY_PRESS = 1 << 0
+_XCB_EVENT_MASK_BUTTON_PRESS = 1 << 2
 _XCB_EVENT_MASK_EXPOSURE = 1 << 15
 _XCB_EVENT_MASK_STRUCTURE_NOTIFY = 1 << 17
 _XCB_IMAGE_FORMAT_Z_PIXMAP = 2
@@ -49,6 +50,7 @@ _XCB_PROP_MODE_REPLACE = 0
 _XCB_ATOM_WM_NAME = 39
 _XCB_ATOM_STRING = 31
 _EV_KEY_PRESS = 2
+_EV_BUTTON_PRESS = 4
 _EV_EXPOSE = 12
 _EV_DESTROY_NOTIFY = 17
 _PUT_CHUNK_BYTES = 200_000        # stay under the 256 KiB request cap
@@ -229,6 +231,7 @@ class XcbDisplay:
         vals = (ctypes.c_uint32 * 2)(
             self._screen.black_pixel,
             _XCB_EVENT_MASK_EXPOSURE | _XCB_EVENT_MASK_KEY_PRESS
+            | _XCB_EVENT_MASK_BUTTON_PRESS
             | _XCB_EVENT_MASK_STRUCTURE_NOTIFY)
         x.xcb_create_window(self._c, self._screen.root_depth, win,
                             self._screen.root, 0, 0, w, h, 1,
@@ -264,8 +267,8 @@ class XcbDisplay:
 
     # -- events ----------------------------------------------------------
     def wait_event(self):
-        """block for one event -> ('key', ch) | ('expose', None) |
-        ('close', None) | (None, None) for everything else"""
+        """block for one event -> ('key', ch) | ('button', (b, x, y)) |
+        ('expose', None) | ('close', None) | (None, None) otherwise"""
         ev = self._x.xcb_wait_for_event(self._c)
         if not ev:
             return ("close", None)
@@ -273,6 +276,11 @@ class XcbDisplay:
             t = ev.contents.response_type & 0x7F
             if t == _EV_KEY_PRESS:
                 return ("key", self.keysym(ev.contents.detail))
+            if t == _EV_BUTTON_PRESS:
+                # same wire layout as KeyPress: detail = button number
+                return ("button", (ev.contents.detail,
+                                   ev.contents.event_x,
+                                   ev.contents.event_y))
             if t == _EV_EXPOSE:
                 return ("expose", None)
             if t == _EV_DESTROY_NOTIFY:
@@ -347,6 +355,12 @@ class CorpusVu:
             self.pos = 0
         return self.pos != old
 
+    def mouse(self, button: int, x: int, y: int) -> bool:
+        """reference IRenderSource::mouse analog (vu.h:34): left click
+        pages forward, right pages back, wheel (buttons 4/5) steps"""
+        return self.keyboard({1: "n", 3: "p", 4: "k", 5: "j"}.get(
+            button, ""))
+
 
 # ===========================================================================
 # module-level API, mirroring the reference's extern "C" surface
@@ -395,10 +409,13 @@ def gui_loop() -> int:
                 for win, vu in _sources:
                     _display.put_image(win, vu.pixels())
                     frames += 1
-            elif kind == "key":
+            elif kind in ("key", "button"):
                 redraw = False
                 for _, vu in _sources:
-                    redraw = vu.keyboard(arg) or redraw
+                    if kind == "key":
+                        redraw = vu.keyboard(arg) or redraw
+                    else:
+                        redraw = vu.mouse(*arg) or redraw
                 if any(vu.done for _, vu in _sources):
                     break
                 if redraw:

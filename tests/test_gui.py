@@ -93,6 +93,26 @@ def test_gui_loop_expose_key_quit():
     assert len(fake.events) == 1                 # post-quit event unread
 
 
+def test_corpus_vu_mouse():
+    """IRenderSource::mouse analog: click/wheel paging"""
+    vu = gui.CorpusVu(_corpus(), per_row=4)
+    assert vu.mouse(1, 10, 10) is True and vu.pos == 4    # left: page fwd
+    assert vu.mouse(3, 10, 10) is True and vu.pos == 0    # right: back
+    assert vu.mouse(5, 0, 0) is True and vu.pos == 1      # wheel down
+    assert vu.mouse(4, 0, 0) is True and vu.pos == 0      # wheel up
+    assert vu.mouse(2, 0, 0) is False                     # middle: no-op
+
+
+def test_gui_loop_button_event():
+    fake = FakeDisplay([("expose", None), ("button", (1, 5, 5)),
+                        ("key", "q")])
+    gui.gui_init(display=fake)
+    vu = gui.CorpusVu(_corpus(), per_row=2)
+    gui.gui_add(vu)
+    assert gui.gui_loop() == 2                  # expose + click redraw
+    assert vu.pos == 2
+
+
 def test_gui_loop_close_event():
     fake = FakeDisplay([("expose", None), ("close", None)])
     gui.gui_init(display=fake)

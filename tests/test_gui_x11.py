@@ -81,9 +81,10 @@ def _event(kind: int, seq: int, **kw) -> bytes:
     if kind == 12:                                       # Expose
         e = struct.pack("<BxHIHHHHH14x", 12, seq, kw.get("window", 0),
                         0, 0, 64, 64, 0)
-    elif kind == 2:                                      # KeyPress
-        e = struct.pack("<BBHIIIIhhhhHBx", 2, kw["keycode"], seq,
-                        0, 0x2A, kw.get("window", 0), 0, 0, 0, 0, 0, 0, 1)
+    elif kind in (2, 4):                     # KeyPress / ButtonPress
+        e = struct.pack("<BBHIIIIhhhhHBx", kind, kw["keycode"], seq,
+                        0, 0x2A, kw.get("window", 0), 0, 0,
+                        kw.get("x", 0), kw.get("y", 0), 0, 0, 1)
     else:                                                # pragma: no cover
         raise ValueError(kind)
     assert len(e) == 32
@@ -129,13 +130,16 @@ class FakeXServer(threading.Thread):
 
             seq = 0
             keys_sent = 0
+            win_h = 0
             while True:
                 head = self._recv(c, 4)
                 opcode, _detail, rlen = struct.unpack("<BBH", head)
                 body = self._recv(c, rlen * 4 - 4) if rlen > 1 else b""
                 seq += 1
                 self.opcodes.append(opcode)
-                if opcode == _OP_GET_KEYBOARD_MAPPING:
+                if opcode == _OP_CREATE_WINDOW:
+                    win_h = struct.unpack("<H", body[14:16])[0]
+                elif opcode == _OP_GET_KEYBOARD_MAPPING:
                     syms = b"".join(struct.pack("<I", ord(ch))
                                     for ch in _KEYS)
                     c.sendall(struct.pack("<BBHI24x", 1, 1, seq,
@@ -146,12 +150,17 @@ class FakeXServer(threading.Thread):
                 elif opcode == _OP_PUT_IMAGE:
                     w, h = struct.unpack("<HH", body[8:12])
                     self.put_images.append((w, h))
-                    if not keys_sent:
-                        keys_sent = 1
+                    # a blit may arrive as several chunked PutImage
+                    # requests; advance the script once per FRAME
+                    if sum(ch for _, ch in self.put_images) % win_h:
+                        continue
+                    keys_sent += 1
+                    if keys_sent == 1:                   # 'n' key: page
                         c.sendall(_event(2, seq,
                                          keycode=_MIN_KC + _KEYS.index("n")))
-                    elif keys_sent == 1:
-                        keys_sent = 2
+                    elif keys_sent == 2:                 # right-click: back
+                        c.sendall(_event(4, seq, keycode=3, x=9, y=9))
+                    elif keys_sent == 3:                 # 'q': quit
                         c.sendall(_event(2, seq,
                                          keycode=_MIN_KC + _KEYS.index("q")))
         except (ConnectionError, OSError):
@@ -180,17 +189,17 @@ def test_xcb_binding_against_fake_server(monkeypatch):
     srv.join(timeout=20)
 
     assert srv.error is None, srv.error
-    # expose blit + the 'n' redraw (q exits before another)
-    assert frames == 2, (frames, srv.opcodes)
-    assert vu.pos == 2                       # 'n' paged by per_row
+    # expose blit + 'n' redraw + right-click redraw (q exits after)
+    assert frames == 3, (frames, srv.opcodes)
+    assert vu.pos == 0                       # 'n' paged fwd, click back
     # full request trail: keyboard map, window+title+gc+map, blits
     assert _OP_GET_KEYBOARD_MAPPING in srv.opcodes
     assert _OP_CREATE_WINDOW in srv.opcodes
     assert _OP_CHANGE_PROPERTY in srv.opcodes
     assert _OP_CREATE_GC in srv.opcodes
     assert _OP_MAP_WINDOW in srv.opcodes
-    assert len(srv.put_images) >= 2
-    # every chunk is full-width and the chunk heights sum to 2 pages
+    assert len(srv.put_images) >= 3
+    # every chunk is full-width and the chunk heights sum to 3 pages
     w, h = vu.width(), vu.height()
     assert all(cw == w for cw, _ in srv.put_images)
-    assert sum(ch for _, ch in srv.put_images) == 2 * h
+    assert sum(ch for _, ch in srv.put_images) == 3 * h
