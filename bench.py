@@ -140,7 +140,7 @@ def bench_gemm_at(size: int, reps: int = 5):
         if "hybrid" in dts:
             out["hybrid_vs_xla_ratios"].append(dts["xla"] / dts["hybrid"])
     out["strict_vs_xla_high_ratios"] = []
-    if "f32class_3pass" in fns:
+    if "f32class_3pass" in fns and "xla_high" in fns:
         for i in range(len(out["f32class_3pass"])):
             out["strict_vs_xla_high_ratios"].append(
                 out["f32class_3pass"][i] / out["xla_high"][i])

@@ -197,6 +197,14 @@ class XcbDisplay:
         self._screen = ctypes.cast(it.data, ctypes.POINTER(_Screen)).contents
         self._min_kc = setup.contents.min_keycode
         self._keysyms = self._keyboard_map(setup.contents)
+        # put_image assumes LSBFirst BGRX at depth 24/32; reject
+        # servers where that blit would scramble channels (ADVICE r4)
+        self._lsb_first = setup.contents.image_byte_order == 0
+        if self._screen.root_depth not in (24, 32):
+            self._x.xcb_disconnect(self._c)
+            raise ConnectionError(
+                f"unsupported root depth {self._screen.root_depth} "
+                "(viewer blits depth-24/32 ZPixmap)")
         self._gc = None
 
     # -- keyboard ------------------------------------------------------
@@ -217,10 +225,16 @@ class XcbDisplay:
         return out
 
     def keysym(self, keycode: int) -> str:
-        """keycode -> one-char string for latin-1 keysyms, else ''"""
+        """keycode -> one-char string for latin-1 keysyms; Escape
+        (XK_Escape 0xFF1B) maps to '\\x1b' so the viewer's quit branch
+        is reachable from a real keyboard (ADVICE r4), else ''"""
         i = keycode - self._min_kc
-        if 0 <= i < len(self._keysyms) and 0 < self._keysyms[i] < 256:
-            return chr(self._keysyms[i])
+        if 0 <= i < len(self._keysyms):
+            ks = self._keysyms[i]
+            if 0 < ks < 256:
+                return chr(ks)
+            if ks == 0xFF1B:                    # XK_Escape
+                return "\x1b"
         return ""
 
     # -- window / drawing ----------------------------------------------
@@ -253,9 +267,14 @@ class XcbDisplay:
         chunked by rows to stay under the X request size cap"""
         h, w = img.shape[:2]
         bgrx = np.zeros((h, w, 4), np.uint8)
-        bgrx[..., 0] = img[..., 2]
-        bgrx[..., 1] = img[..., 1]
-        bgrx[..., 2] = img[..., 0]
+        if self._lsb_first:                     # BGRX little-endian
+            bgrx[..., 0] = img[..., 2]
+            bgrx[..., 1] = img[..., 1]
+            bgrx[..., 2] = img[..., 0]
+        else:                                   # MSBFirst: XRGB
+            bgrx[..., 1] = img[..., 0]
+            bgrx[..., 2] = img[..., 1]
+            bgrx[..., 3] = img[..., 2]
         rows = max(1, _PUT_CHUNK_BYTES // (w * 4))
         for y0 in range(0, h, rows):
             chunk = np.ascontiguousarray(bgrx[y0:y0 + rows])

@@ -53,6 +53,24 @@ _LOG2E = 1.4426950408889634       # 1/ln 2
 _LN2 = 0.6931471805599453
 
 
+def _fit_block(s: int, pref: int) -> int:
+    """Largest multiple of 256 <= pref that divides s.
+
+    The default block sizes are sweep winners at S=2048 (1024q etc.),
+    but the grids floor-divide, so a default that does NOT divide s
+    would silently skip whole KV/Q blocks (wrong outputs/gradients) or
+    trip the trace-time assert.  _flash_ok admits any s%256==0, s>=512
+    — e.g. S=1536/2560 — so the defaults must adapt: walk down from
+    the preferred size in 256-lane steps to the largest divisor (256
+    always divides an eligible s).  ADVICE r4 high/medium items."""
+    top = min(pref, s)
+    top -= top % 256
+    for d in range(top, 255, -256):
+        if s % d == 0:
+            return d
+    return min(s, 256)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, *rest,
                   bq: int, bkv: int, causal: bool,
                   save_lse: bool, hybrid: bool = False,
@@ -283,9 +301,12 @@ def flash_attention(q, k, v, bq: int | None = None,
     fwd-causal)."""
     b, s, dh = q.shape
     if bq is None:
-        bq = 1024
+        bq = _fit_block(s, 1024)
     if bkv is None:
-        bkv = 1024 if causal else 2048
+        # non-causal prefers the full KV span (single-block fast path)
+        # up to 2048; past that (and for causal) the largest divisor
+        bkv = _fit_block(s, 1024) if causal else (
+            s if s <= 2048 else _fit_block(s, 2048))
     bq = min(bq, s)
     bkv = min(bkv, s)
     assert s % bq == 0 and s % bkv == 0, "seq not divisible by block"
@@ -372,11 +393,12 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int | None = None,
     scripts/sweep_attn_r4b.py."""
     b, s, dh = q.shape
     if bq is None:
-        bq = 1024
+        bq = _fit_block(s, 1024)
     if bkv is None:
-        bkv = 512
+        bkv = _fit_block(s, 512)
     bq = min(bq, s)
     bkv = min(bkv, s)
+    assert s % bq == 0 and s % bkv == 0, "seq not divisible by block"
     scale = 1.0 / math.sqrt(dh)
     # base-2 pre-scale (see flash_attention): q2 rows dotted with k give
     # base-2 scores; lse2 converts the saved nats-lse to the same domain

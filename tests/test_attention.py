@@ -275,3 +275,57 @@ def test_flash_lse_wrapper_grad_matches_autodiff(t4):
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), rtol=3e-4, atol=3e-4,
                 err_msg=f"lse-wrapper grad {nm} (causal={causal})")
+
+
+def test_fit_block_divides_all_eligible_shapes():
+    """default block sizes must DIVIDE s for every flash-eligible shape
+    (s%256==0, s>=512): the grids floor-divide, so a non-dividing
+    default would silently skip whole KV/Q blocks — wrong gradients on
+    the TPU training path (ADVICE r4 high)."""
+    from tensorforth_tpu.ops.attn_pallas import _fit_block
+
+    for s in range(512, 8192 + 1, 256):
+        for pref in (512, 1024, 2048):
+            d = _fit_block(s, pref)
+            assert s % d == 0 and d <= pref and d % 256 == 0, (s, pref, d)
+    assert _fit_block(2048, 1024) == 1024     # keeps the sweep winners
+    assert _fit_block(2048, 512) == 512
+    assert _fit_block(1536, 1024) == 768      # non-pow2 divisor beats 512
+    assert _fit_block(2560, 1024) == 512
+    assert _fit_block(768, 512) == 256   # walks 256-lane steps: 512 fails, 256 divides
+
+
+def test_flash_default_blocks_odd_seq_fwd_bwd(t4):
+    """S=1536: flash-eligible but indivisible by the r4 sweep-winner
+    blocks (1024q/512kv bwd, 1024 causal fwd).  Defaults must adapt and
+    produce exact results end-to-end (ADVICE r4 high+medium)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.nn.funcs import _sdpa_ref
+    from tensorforth_tpu.ops.attn_pallas import (flash_attention,
+                                                 flash_attention_bwd)
+
+    ks = jax.random.split(jax.random.PRNGKey(17), 4)
+    b, s, dh = 1, 1536, 128
+    q = jax.random.normal(ks[0], (b, s, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, dh), jnp.float32)
+    do = jax.random.normal(ks[3], (b, s, dh), jnp.float32)
+
+    for causal in (False, True):
+        with jax.default_matmul_precision("highest"):
+            o, lse = flash_attention(q, k, v, causal=causal,
+                                     return_lse=True, interpret=True)
+            want_o = _sdpa_ref(q, k, v, causal)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(want_o),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"S=1536 fwd causal={causal}")
+        dq, dk, dv = flash_attention_bwd(q, k, v, o, lse, do,
+                                         causal=causal, interpret=True)
+        _, vjp = jax.vjp(lambda q_, k_, v_: _sdpa_ref(q_, k_, v_, causal),
+                         q, k, v)
+        for got, want, nm in zip((dq, dk, dv), vjp(do), ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
+                err_msg=f"S=1536 bwd {nm} (causal={causal})")
