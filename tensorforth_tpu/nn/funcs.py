@@ -670,9 +670,54 @@ def onehot_fn(labels, classes: int):
 # ===========================================================================
 # macro-op fusion: the canonical word training cycle as ONE program
 # ===========================================================================
+@lru_cache(maxsize=4)
+def _mesh_cache(spec: str, n_dev: int):
+    from ..parallel.mesh import mesh_from_spec
+    return mesh_from_spec(spec)
+
+
+def word_mesh():
+    """Mesh for the INTERACTIVE word path (VERDICT r4 #1).
+
+    T4_MESH=dp4[,tp2] makes the canonical `for forward … backprop
+    nn.adam next` word loop SPMD: the fused-cycle / chunk executables
+    constrain the batch over 'dp' (and parameters over 'tp'/'ep' when
+    those axes are present), so the flagship surface scales across
+    chips exactly like nn.train — the reference's multi-VM dream
+    (vm.h:62-79) realized as sharding instead of VM scheduling.
+    Unset (the default) returns None: the executables compile exactly
+    as before, zero single-chip overhead.  A spec needing more devices
+    than exist degrades to None rather than erroring."""
+    import os
+    spec = os.environ.get("T4_MESH", "")
+    if not spec:
+        return None
+    return _mesh_cache(spec, len(jax.devices()))
+
+
+def _batch_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P("dp"))
+
+
+def _flat_param_shardings(mesh, program, params):
+    """per-trainable (w, b) NamedShardings in Model._trainables()
+    order — the layout the fused optimizer's flat lists use"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import shard_params
+    psh = shard_params(mesh, program)
+    rep = NamedSharding(mesh, P())
+    flat = []
+    for j in range(len(program)):
+        if params[j]:
+            sl = psh[j] if psh[j] else (rep, rep)
+            flat += [sl[0], sl[1]]
+    return psh, flat
+
+
 @lru_cache(maxsize=64)
 def get_fused_cycle(program, train: bool, loss_op: str, opt: str,
-                    ndivs: tuple):
+                    ndivs: tuple, mesh=None):
     """`forward loss.X ... backprop nn.adam` compiled as ONE XLA
     executable (macro-op fusion — VERDICT r2 #2; the reference analog
     is the per-word kernel-launch train it replaces, forward.cu:29 /
@@ -689,9 +734,13 @@ def get_fused_cycle(program, train: bool, loss_op: str, opt: str,
     ndivs: the SGD dW/N quirk divisors (per trainable, w then b)."""
 
     def cyc(x, params, dws, dbs, ms, vs, labels, key, lr, h1, h2, h3):
+        if mesh is not None:
+            bsh = _batch_sharding(mesh)
+            x = jax.lax.with_sharding_constraint(x, bsh)
+            labels = jax.lax.with_sharding_constraint(labels, bsh)
         return _fused_cycle_body(program, train, loss_op, opt, ndivs,
                                  x, params, dws, dbs, ms, vs, labels,
-                                 key, lr, h1, h2, h3)
+                                 key, lr, h1, h2, h3, mesh=mesh)
 
     return jax.jit(cyc)
 
@@ -699,7 +748,7 @@ def get_fused_cycle(program, train: bool, loss_op: str, opt: str,
 @lru_cache(maxsize=64)
 def get_fused_cycle_ds(program, train: bool, loss_op: str, opt: str,
                        ndivs: tuple, batch: int, mean: float,
-                       scale: float, in_shape: tuple):
+                       scale: float, in_shape: tuple, mesh=None):
     """fetch-FOLDED fused cycle: the batch slice + normalize from the
     device-resident U8 corpus (mu/dataset._fetch_prog) runs INSIDE the
     one cycle executable, so the canonical word training loop costs a
@@ -713,9 +762,16 @@ def get_fused_cycle_ds(program, train: bool, loss_op: str, opt: str,
         d = jax.lax.dynamic_slice_in_dim(buf, pos, batch, 0)
         x = ((d.astype(jnp.float32) - mean) * scale).reshape(in_shape)
         labels = jax.lax.dynamic_slice_in_dim(all_labels, pos, batch, 0)
+        if mesh is not None:
+            # the corpus buffer stays replicated (each device slices
+            # locally — zero-communication fetch); the sliced batch
+            # shards over 'dp' from here on
+            bsh = _batch_sharding(mesh)
+            x = jax.lax.with_sharding_constraint(x, bsh)
+            labels = jax.lax.with_sharding_constraint(labels, bsh)
         return (x, labels) + _fused_cycle_body(
             program, train, loss_op, opt, ndivs, x, params, dws, dbs,
-            ms, vs, labels, key, lr, h1, h2, h3)
+            ms, vs, labels, key, lr, h1, h2, h3, mesh=mesh)
 
     return jax.jit(cyc)
 
@@ -751,7 +807,8 @@ def _scatter_zeroed_grads(program, params, dws, dbs, zflat):
 @lru_cache(maxsize=64)
 def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
                        ndivs: tuple, batch: int, mean: float,
-                       scale: float, in_shape: tuple, k_batches: int):
+                       scale: float, in_shape: tuple, k_batches: int,
+                       mesh=None):
     """trace-chunked execution: K consecutive canonical word cycles
     (fetch + forward + loss + metrics + backward + optimizer) as ONE
     device program — `lax.scan` over the fused cycle body, batch i at
@@ -789,9 +846,14 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
             x = ((d.astype(jnp.float32) - mean) * scale).reshape(in_shape)
             labels = jax.lax.dynamic_slice_in_dim(all_labels, pos,
                                                   batch, 0)
+            if mesh is not None:      # see get_fused_cycle_ds
+                bsh = _batch_sharding(mesh)
+                x = jax.lax.with_sharding_constraint(x, bsh)
+                labels = jax.lax.with_sharding_constraint(labels, bsh)
             return (x, labels) + _fused_cycle_body(
                 program, train, loss_op, opt, ndivs, x, params_i,
-                dws_i, dbs_i, ms_i, vs_i, labels, key, lr, h1, h2, h3)
+                dws_i, dbs_i, ms_i, vs_i, labels, key, lr, h1, h2, h3,
+                mesh=mesh)
 
         # stash tuple indices: x=0 labels=1 outs=2 masks=3 hot=4 hit=5
         # lval=6 dout=7 dxs=8 ndws=9 ndbs=10 nws=11 nms=12 nvs=13
@@ -852,7 +914,20 @@ def get_fused_chunk_ds(program, train: bool, loss_op: str, opt: str,
 
 def _fused_cycle_body(program, train, loss_op, opt, ndivs,
                       x, params, dws, dbs, ms, vs, labels, key,
-                      lr, h1, h2, h3):
+                      lr, h1, h2, h3, mesh=None):
+    fspecs = None
+    if mesh is not None:
+        # SPMD word path (word_mesh): parameters constrained to their
+        # shard_params layout (replicated on a pure-dp mesh, feature-
+        # sharded over 'tp', experts over 'ep'); activations inherit
+        # 'dp' from the batch constraint applied by the caller.  XLA
+        # inserts the grad psum over 'dp' and the activation
+        # collectives over 'tp' exactly as in the nn.train SPMD tier.
+        psh, fspecs = _flat_param_shardings(mesh, program, params)
+        params = tuple(
+            tuple(jax.lax.with_sharding_constraint(w, s)
+                  for w, s in zip(pl, sl)) if pl and sl else pl
+            for pl, sl in zip(params, psh))
     outs, masks = forward_pure(program, x, params, key)
     out = outs[-1]
     n = out.shape[0]
@@ -893,6 +968,14 @@ def _fused_cycle_body(program, train, loss_op, opt, ndivs,
             else:
                 m = dg
                 w = w - lr * dg
+        if fspecs is not None:
+            # post-step weights/moments keep the parameter layout, so
+            # the next cycle (and the chunk scan carry) never reshards
+            w = jax.lax.with_sharding_constraint(w, fspecs[i])
+            m = jax.lax.with_sharding_constraint(m, fspecs[i])
+            if nvs and opt in ("adam", "adamw"):
+                nvs[-1] = jax.lax.with_sharding_constraint(
+                    nvs[-1], fspecs[i])
         nws.append(w)
         nms.append(m)
         zdws.append(jnp.zeros_like(dw))

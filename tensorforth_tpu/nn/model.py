@@ -653,7 +653,7 @@ class Model:
             vs = ()
         dws, dbs = self._gather_grads()
         fn = funcs.get_fused_cycle(prog, bool(self.train), loss_op, opt,
-                                   self._ndivs())
+                                   self._ndivs(), funcs.word_mesh())
         res = fn(n0.ensure_data(), self._params(), dws, dbs,
                  tuple(ms), vs, labels, key, *(_jf32(h) for h in hyper))
         (outs, masks, hot, hit, lval, dout, dxs, ndws, ndbs,
@@ -697,8 +697,8 @@ class Model:
         fn = funcs.get_fused_cycle_ds(
             prog, bool(self.train), loss_op, opt, self._ndivs(),
             inp.batch_sz, float(inp._mean), float(inp._scale),
-            tuple(self[0].shape))          # model-input shape, not the
-        #                                    dataset's (equal numel)
+            tuple(self[0].shape),          # model-input shape, not the
+            funcs.word_mesh())             # dataset's (equal numel)
         res = fn(cp._dev_cache, cp._dev_labels, _ji32(pos), self._params(),
                  dws, dbs, tuple(ms), vs, key,
                  *(_jf32(h) for h in hyper))
@@ -802,10 +802,11 @@ class Model:
         if os.environ.get("T4_NAN_GUARD", "") == "eager" \
                 and self._fin_check(blocking=True):
             return False                     # fault handled; err set
+        mesh = funcs.word_mesh()
         fn = funcs.get_fused_chunk_ds(
             prog, bool(self.train), loss_op, opt, self._ndivs(),
             inp.batch_sz, float(inp._mean), float(inp._scale),
-            tuple(self[0].shape), k_batches)
+            tuple(self[0].shape), k_batches, mesh)
         lvals, hits, fins, last = fn(cp._dev_cache, cp._dev_labels,
                                      _ji32(pos), params, dws, dbs, ms, vs,
                                      keys, *(_jf32(h) for h in hyper))
@@ -820,7 +821,7 @@ class Model:
             # topology mutation while the chunk dangles can't make
             # _chunk_abort rebuild the program against stale state
             "prog": prog, "ndivs": self._ndivs(),
-            "in_shape": tuple(self[0].shape),
+            "in_shape": tuple(self[0].shape), "mesh": mesh,
             "seq": self._next_fin_seq(),
         }
         self._serve_chunk_cycle()
@@ -948,7 +949,7 @@ class Model:
         fn = funcs.get_fused_cycle_ds(
             prog, bool(self.train), ck["loss_op"], ck["opt"],
             ck["ndivs"], b, float(inp._mean), float(inp._scale),
-            ck["in_shape"])
+            ck["in_shape"], ck.get("mesh"))
         hy = tuple(_jf32(h) for h in ck["hyper"])
         zflat = None
         for i in range(j):            # replay the COMPLETE cycles

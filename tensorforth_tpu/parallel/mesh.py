@@ -41,6 +41,29 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
     return Mesh(grid, ("dp", ax2))
 
 
+def mesh_from_spec(spec: str) -> Mesh | None:
+    """'dp4' / 'dp4,tp2' / 'dp2,ep4' -> Mesh, or None when the spec is
+    empty or asks for more devices than exist (the interactive word
+    path degrades to single-device rather than erroring — a laptop run
+    with a pod T4_MESH in the env should still work)."""
+    spec = (spec or "").strip()
+    if not spec:
+        return None
+    dp = tp = ep = None
+    for part in spec.split(","):
+        part = part.strip()
+        if part.startswith("dp"):
+            dp = int(part[2:])
+        elif part.startswith("tp"):
+            tp = int(part[2:])
+        elif part.startswith("ep"):
+            ep = int(part[2:])
+    n = (dp or 1) * (tp or 1) * (ep or 1)
+    if n <= 1 or n > len(jax.devices()):
+        return None
+    return make_mesh(n, dp=dp, tp=tp, ep=ep)
+
+
 def shard_batch(mesh: Mesh) -> NamedSharding:
     """activations: batch axis over 'dp', features replicated"""
     return NamedSharding(mesh, P("dp"))
