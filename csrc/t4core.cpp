@@ -165,8 +165,9 @@ static inline float    scal(double d) {
 static inline float dup_du(float v) { return is_obj(v) ? as_view(v) : v; }
 
 static inline void drop_du(T4VM *vm, float v) {
-    if (is_obj(v) && !is_view(v) && vm->n_dropped < 256)
-        vm->dropped[vm->n_dropped++] = f2u(v);
+    if (__builtin_expect(is_obj(v), 0))
+        if (!is_view(v) && vm->n_dropped < 256)
+            vm->dropped[vm->n_dropped++] = f2u(v);
 }
 
 // ---- stack ops ---------------------------------------------------------------
@@ -174,32 +175,67 @@ static inline void drop_du(T4VM *vm, float v) {
 // never write outside the stack buffers — indices clamp into range and
 // the Python side pads both buffers with guard slack for the bounded
 // negative READS the reference's unchecked Vector also performs.
-static inline void sput(T4VM *vm, float v) {
-    if (vm->ss_idx < 0) vm->ss_idx = 0;
-    if (vm->ss_idx >= vm->ss_sz) vm->ss_idx = vm->ss_sz - 1;
-    vm->ss[vm->ss_idx++] = v;
+//
+// r5 speed-of-light rework: TOS, the stack indices and IP live in a
+// local `Hot` mirror while the interpreter runs.  Through-vm accesses
+// cost a load+store per op because pmem is uint8_t* (aliases every
+// field) and ss/rs are float* (alias the float tos) — the compiler had
+// to spill the whole VM state around every stack write.  Locals whose
+// address never escapes can't alias anything; GCC SROA puts them in
+// registers.  The mirror is reloaded after every Python callback (a
+// callback may mutate any field, even swap the stack buffers) and
+// stored back before callbacks/returns.
+struct Hot {
+    float   *ss;
+    float   *rs;
+    int32_t  ss_sz;
+    int32_t  rs_sz;
+    float    tos;
+    int32_t  ssi;
+    int32_t  rsi;
+    int32_t  ip;
+};
+
+static inline void h_load(T4VM *vm, Hot &h) {
+    h.ss = vm->ss;       h.rs = vm->rs;
+    h.ss_sz = vm->ss_sz; h.rs_sz = vm->rs_sz;
+    h.tos = vm->tos;     h.ssi = vm->ss_idx;
+    h.rsi = vm->rs_idx;  h.ip = vm->ip;
 }
-static inline float spop(T4VM *vm) {
-    if (vm->ss_idx > 0) return vm->ss[--vm->ss_idx];
-    vm->ss_idx = 0;
+static inline void h_store(T4VM *vm, const Hot &h) {
+    vm->tos = h.tos;
+    vm->ss_idx = h.ssi;
+    vm->rs_idx = h.rsi;
+    vm->ip = h.ip;
+}
+
+static inline void sput(Hot &h, float v) {
+    // one unsigned compare covers both clamp directions (cold)
+    if (__builtin_expect((uint32_t)h.ssi >= (uint32_t)h.ss_sz, 0))
+        h.ssi = h.ssi < 0 ? 0 : h.ss_sz - 1;
+    h.ss[h.ssi++] = v;
+}
+static inline float spop(Hot &h) {
+    if (h.ssi > 0) return h.ss[--h.ssi];
+    h.ssi = 0;
     return 0.0f;
 }
-static inline void push(T4VM *vm, float v) {
-    sput(vm, vm->tos);
-    vm->tos = v;
+static inline void push(Hot &h, float v) {
+    sput(h, h.tos);
+    h.tos = v;
 }
-static inline float pop(T4VM *vm) {
-    float t = vm->tos;
-    vm->tos = vm->ss_idx > 0 ? spop(vm) : 0.0f;
+static inline float pop(Hot &h) {
+    float t = h.tos;
+    h.tos = h.ssi > 0 ? spop(h) : 0.0f;
     return t;
 }
-static inline void rpush(T4VM *vm, float v) {
-    if (vm->rs_idx < 0) vm->rs_idx = 0;
-    if (vm->rs_idx >= vm->rs_sz) vm->rs_idx = vm->rs_sz - 1;
-    vm->rs[vm->rs_idx++] = v;
+static inline void rpush(Hot &h, float v) {
+    if (__builtin_expect((uint32_t)h.rsi >= (uint32_t)h.rs_sz, 0))
+        h.rsi = h.rsi < 0 ? 0 : h.rs_sz - 1;
+    h.rs[h.rsi++] = v;
 }
-static inline float rpop(T4VM *vm) {
-    return vm->rs_idx > 0 ? vm->rs[--vm->rs_idx] : 0.0f;
+static inline float rpop(Hot &h) {
+    return h.rsi > 0 ? h.rs[--h.rsi] : 0.0f;
 }
 static inline int32_t d2i(float f) { return (int32_t)f; }
 static inline float fbool(bool b) { return b ? -1.0f : 0.0f; }
@@ -218,124 +254,144 @@ enum {
     W_TOR, W_RFROM, W_RAT, W_I, W_EXIT, W_BL, W_DEPTH, W_NWORDS
 };
 
-static void native_word(T4VM *vm, int id) {
+static inline void native_word_h(T4VM *vm, Hot &h, int id) {
     switch (id) {
     case W_NOP: break;
-    case W_DUP:  push(vm, dup_du(vm->tos)); break;
-    case W_DROP: { drop_du(vm, vm->tos);
-                   vm->tos = vm->ss_idx > 0 ? spop(vm) : 0.0f; } break;
-    case W_OVER: push(vm, dup_du(vm->ss[vm->ss_idx - 1])); break;
-    case W_SWAP: { float n = spop(vm); push(vm, n); } break;
-    case W_ROT:  { float n = spop(vm);
-                   float m = spop(vm);
-                   sput(vm, n); push(vm, m); } break;
-    case W_RROT: { float n = spop(vm);
-                   float m = spop(vm);
-                   push(vm, m); push(vm, n); } break;
-    case W_PICK: { int i = d2i(vm->tos);
-                   vm->tos = (i > 0 && i <= vm->ss_idx)
-                                   ? dup_du(vm->ss[vm->ss_idx - i])
-                                   : dup_du(vm->tos); } break;
-    case W_NIP:  if (vm->ss_idx > 0) --vm->ss_idx; break;
-    case W_QDUP: if (vm->tos != 0.0f) push(vm, vm->tos); break;
-    case W_2DUP: { float v = dup_du(vm->ss[vm->ss_idx - 1]); push(vm, v);
-                   v = dup_du(vm->ss[vm->ss_idx - 1]); push(vm, v); } break;
-    case W_2DROP:{ float s = spop(vm); drop_du(vm, s);
-                   drop_du(vm, vm->tos);
-                   vm->tos = vm->ss_idx > 0 ? spop(vm) : 0.0f; } break;
-    case W_2OVER:{ float v = dup_du(vm->ss[vm->ss_idx - 3]); push(vm, v);
-                   v = dup_du(vm->ss[vm->ss_idx - 3]); push(vm, v); } break;
-    case W_2SWAP:{ float n = spop(vm);
-                   float m = spop(vm);
-                   float l = spop(vm);
-                   sput(vm, n); push(vm, l); push(vm, m); } break;
+    case W_DUP:  push(h, dup_du(h.tos)); break;
+    case W_DROP: { drop_du(vm, h.tos);
+                   h.tos = h.ssi > 0 ? spop(h) : 0.0f; } break;
+    case W_OVER: push(h, dup_du(h.ss[h.ssi - 1])); break;
+    case W_SWAP: { float n = spop(h); push(h, n); } break;
+    case W_ROT:  { float n = spop(h);
+                   float m = spop(h);
+                   sput(h, n); push(h, m); } break;
+    case W_RROT: { float n = spop(h);
+                   float m = spop(h);
+                   push(h, m); push(h, n); } break;
+    case W_PICK: { int i = d2i(h.tos);
+                   h.tos = (i > 0 && i <= h.ssi)
+                                   ? dup_du(h.ss[h.ssi - i])
+                                   : dup_du(h.tos); } break;
+    case W_NIP:  if (h.ssi > 0) --h.ssi; break;
+    case W_QDUP: if (h.tos != 0.0f) push(h, h.tos); break;
+    case W_2DUP: { float v = dup_du(h.ss[h.ssi - 1]); push(h, v);
+                   v = dup_du(h.ss[h.ssi - 1]); push(h, v); } break;
+    case W_2DROP:{ float s = spop(h); drop_du(vm, s);
+                   drop_du(vm, h.tos);
+                   h.tos = h.ssi > 0 ? spop(h) : 0.0f; } break;
+    case W_2OVER:{ float v = dup_du(h.ss[h.ssi - 3]); push(h, v);
+                   v = dup_du(h.ss[h.ssi - 3]); push(h, v); } break;
+    case W_2SWAP:{ float n = spop(h);
+                   float m = spop(h);
+                   float l = spop(h);
+                   sput(h, n); push(h, l); push(h, m); } break;
     // --- FPU (double intermediate to match numpy float64 math) ---
-    case W_ADD: { double t = vm->tos, n = spop(vm);
-                  vm->tos = scal(n + t); } break;
-    case W_SUB: { double t = vm->tos, n = spop(vm);
-                  vm->tos = scal(n - t); } break;
-    case W_MUL: { double t = vm->tos, n = spop(vm);
-                  vm->tos = scal(n * t); } break;
-    case W_DIV: { double t = vm->tos, n = spop(vm);
-                  vm->tos = scal(n / t);    // IEEE: 0/0 NaN, n/±0 ±inf
+    case W_ADD: { double t = h.tos, n = spop(h);
+                  h.tos = scal(n + t); } break;
+    case W_SUB: { double t = h.tos, n = spop(h);
+                  h.tos = scal(n - t); } break;
+    case W_MUL: { double t = h.tos, n = spop(h);
+                  h.tos = scal(n * t); } break;
+    case W_DIV: { double t = h.tos, n = spop(h);
+                  h.tos = scal(n / t);      // IEEE: 0/0 NaN, n/±0 ±inf
                 } break;
-    case W_MOD: { int32_t t = d2i(vm->tos);
-                  int32_t n = d2i(spop(vm));
-                  vm->tos = scal(t ? (double)std::fmod((double)n, (double)t)
-                                   : 0.0); } break;
-    case W_FMOD:{ double t = vm->tos, n = spop(vm);
-                  vm->tos = scal(t != 0.0 ? std::fmod(n, t) : 0.0); } break;
-    case W_DIVMOD: { double t = vm->tos, n = spop(vm);
-                  sput(vm, scal(t != 0.0 ? std::fmod(n, t) : 0.0));
-                  vm->tos = scal(t != 0.0 ? n / t : 0.0); } break;
-    case W_MULDIV: { double n2 = (double)spop(vm) * (double)spop(vm);
-                  double t = vm->tos;
-                  vm->tos = scal(t != 0.0 ? n2 / t : 0.0); } break;
-    case W_MULDIVMOD: { double n2 = (double)spop(vm) * (double)spop(vm);
-                  double t = vm->tos;
-                  sput(vm, scal(t != 0.0 ? std::fmod(n2, t) : 0.0));
-                  vm->tos = scal(t != 0.0 ? std::floor(n2 / t) : 0.0); } break;
-    case W_AND: { int32_t t = d2i(vm->tos), n = d2i(spop(vm));
-                  vm->tos = scal(wrap32((int64_t)n & t)); } break;
-    case W_OR:  { int32_t t = d2i(vm->tos), n = d2i(spop(vm));
-                  vm->tos = scal(wrap32((int64_t)n | t)); } break;
-    case W_XOR: { int32_t t = d2i(vm->tos), n = d2i(spop(vm));
-                  vm->tos = scal(wrap32((int64_t)n ^ t)); } break;
-    case W_ABS: vm->tos = scal(std::fabs((double)vm->tos)); break;
-    case W_NEG: vm->tos = scal(-(double)vm->tos); break;
-    case W_INVERT: vm->tos = scal(wrap32(~(int64_t)d2i(vm->tos))); break;
-    case W_RSHIFT: { int32_t t = d2i(vm->tos);
-                  uint32_t n = (uint32_t)d2i(spop(vm));
-                  vm->tos = scal(wrap32(n >> t)); } break;
-    case W_LSHIFT: { int32_t t = d2i(vm->tos);
-                  int64_t n = d2i(spop(vm));
-                  vm->tos = scal(wrap32(n << t)); } break;
-    case W_MAX: { float n = spop(vm);
-                  if (n > vm->tos) vm->tos = n; } break;
-    case W_MIN: { float n = spop(vm);
-                  if (n < vm->tos) vm->tos = n; } break;
-    case W_2STAR:  vm->tos = scal((double)vm->tos * 2.0); break;
-    case W_2SLASH: vm->tos = scal((double)vm->tos / 2.0); break;
-    case W_1ADD:   vm->tos = scal((double)vm->tos + 1.0); break;
-    case W_1SUB:   vm->tos = scal((double)vm->tos - 1.0); break;
-    case W_F2S:    vm->tos = scal((double)d2i(vm->tos)); break;
-    case W_ROUND:  vm->tos = scal(std::copysign(
-                        std::floor(std::fabs((double)vm->tos) + 0.5),
-                        (double)vm->tos)); break;
-    case W_CEIL:   vm->tos = scal(std::ceil((double)vm->tos)); break;
-    case W_FLOOR:  vm->tos = scal(std::floor((double)vm->tos)); break;
+    case W_MOD: { int32_t t = d2i(h.tos);
+                  int32_t n = d2i(spop(h));
+                  h.tos = scal(t ? (double)std::fmod((double)n, (double)t)
+                                 : 0.0); } break;
+    case W_FMOD:{ double t = h.tos, n = spop(h);
+                  h.tos = scal(t != 0.0 ? std::fmod(n, t) : 0.0); } break;
+    case W_DIVMOD: { double t = h.tos, n = spop(h);
+                  sput(h, scal(t != 0.0 ? std::fmod(n, t) : 0.0));
+                  h.tos = scal(t != 0.0 ? n / t : 0.0); } break;
+    case W_MULDIV: { double n2 = (double)spop(h) * (double)spop(h);
+                  double t = h.tos;
+                  h.tos = scal(t != 0.0 ? n2 / t : 0.0); } break;
+    case W_MULDIVMOD: { double n2 = (double)spop(h) * (double)spop(h);
+                  double t = h.tos;
+                  sput(h, scal(t != 0.0 ? std::fmod(n2, t) : 0.0));
+                  h.tos = scal(t != 0.0 ? std::floor(n2 / t) : 0.0); } break;
+    case W_AND: { int32_t t = d2i(h.tos), n = d2i(spop(h));
+                  h.tos = scal(wrap32((int64_t)n & t)); } break;
+    case W_OR:  { int32_t t = d2i(h.tos), n = d2i(spop(h));
+                  h.tos = scal(wrap32((int64_t)n | t)); } break;
+    case W_XOR: { int32_t t = d2i(h.tos), n = d2i(spop(h));
+                  h.tos = scal(wrap32((int64_t)n ^ t)); } break;
+    case W_ABS: h.tos = scal(std::fabs((double)h.tos)); break;
+    case W_NEG: h.tos = scal(-(double)h.tos); break;
+    case W_INVERT: h.tos = scal(wrap32(~(int64_t)d2i(h.tos))); break;
+    case W_RSHIFT: { int32_t t = d2i(h.tos);
+                  uint32_t n = (uint32_t)d2i(spop(h));
+                  h.tos = scal(wrap32(n >> t)); } break;
+    case W_LSHIFT: { int32_t t = d2i(h.tos);
+                  int64_t n = d2i(spop(h));
+                  h.tos = scal(wrap32(n << t)); } break;
+    case W_MAX: { float n = spop(h);
+                  if (n > h.tos) h.tos = n; } break;
+    case W_MIN: { float n = spop(h);
+                  if (n < h.tos) h.tos = n; } break;
+    case W_2STAR:  h.tos = scal((double)h.tos * 2.0); break;
+    case W_2SLASH: h.tos = scal((double)h.tos / 2.0); break;
+    case W_1ADD:   h.tos = scal((double)h.tos + 1.0); break;
+    case W_1SUB:   h.tos = scal((double)h.tos - 1.0); break;
+    case W_F2S:    h.tos = scal((double)d2i(h.tos)); break;
+    case W_ROUND:  h.tos = scal(std::copysign(
+                        std::floor(std::fabs((double)h.tos) + 0.5),
+                        (double)h.tos)); break;
+    case W_CEIL:   h.tos = scal(std::ceil((double)h.tos)); break;
+    case W_FLOOR:  h.tos = scal(std::floor((double)h.tos)); break;
     // --- logic (epsilon compares) ---
-    case W_ZEQ: vm->tos = fbool(std::fabs((double)vm->tos) < DU_EPS); break;
-    case W_ZLT: vm->tos = fbool((double)vm->tos < -DU_EPS); break;
-    case W_ZGT: vm->tos = fbool((double)vm->tos > DU_EPS); break;
-    case W_EQ:  { double n = spop(vm);
-                  vm->tos = fbool(std::fabs(n - vm->tos) < DU_EPS); } break;
-    case W_GT:  { double n = spop(vm);
-                  vm->tos = fbool(n - vm->tos > DU_EPS); } break;
-    case W_LT:  { double n = spop(vm);
-                  vm->tos = fbool(n - vm->tos < -DU_EPS); } break;
-    case W_NE:  { double n = spop(vm);
-                  vm->tos = fbool(std::fabs(n - vm->tos) >= DU_EPS); } break;
-    case W_GE:  { double n = spop(vm);
-                  vm->tos = fbool(n - vm->tos >= -DU_EPS); } break;
-    case W_LE:  { double n = spop(vm);
-                  vm->tos = fbool(n - vm->tos <= DU_EPS); } break;
-    case W_ULT: { uint32_t t = (uint32_t)d2i(vm->tos);
-                  uint32_t n = (uint32_t)d2i(spop(vm));
-                  vm->tos = fbool(n < t); } break;
-    case W_UGT: { uint32_t t = (uint32_t)d2i(vm->tos);
-                  uint32_t n = (uint32_t)d2i(spop(vm));
-                  vm->tos = fbool(n > t); } break;
+    case W_ZEQ: h.tos = fbool(std::fabs((double)h.tos) < DU_EPS); break;
+    case W_ZLT: h.tos = fbool((double)h.tos < -DU_EPS); break;
+    case W_ZGT: h.tos = fbool((double)h.tos > DU_EPS); break;
+    case W_EQ:  { double n = spop(h);
+                  h.tos = fbool(std::fabs(n - h.tos) < DU_EPS); } break;
+    case W_GT:  { double n = spop(h);
+                  h.tos = fbool(n - h.tos > DU_EPS); } break;
+    case W_LT:  { double n = spop(h);
+                  h.tos = fbool(n - h.tos < -DU_EPS); } break;
+    case W_NE:  { double n = spop(h);
+                  h.tos = fbool(std::fabs(n - h.tos) >= DU_EPS); } break;
+    case W_GE:  { double n = spop(h);
+                  h.tos = fbool(n - h.tos >= -DU_EPS); } break;
+    case W_LE:  { double n = spop(h);
+                  h.tos = fbool(n - h.tos <= DU_EPS); } break;
+    case W_ULT: { uint32_t t = (uint32_t)d2i(h.tos);
+                  uint32_t n = (uint32_t)d2i(spop(h));
+                  h.tos = fbool(n < t); } break;
+    case W_UGT: { uint32_t t = (uint32_t)d2i(h.tos);
+                  uint32_t n = (uint32_t)d2i(spop(h));
+                  h.tos = fbool(n > t); } break;
     // --- return stack ---
-    case W_TOR:   rpush(vm, pop(vm)); break;
-    case W_RFROM: push(vm, rpop(vm)); break;
-    case W_RAT:   push(vm, dup_du(vm->rs[vm->rs_idx - 1])); break;
-    case W_I:     push(vm, vm->rs[vm->rs_idx - 1]); break;
-    case W_EXIT:  vm->ip = d2i(rpop(vm)); break;
-    case W_BL:    push(vm, 32.0f); break;
-    case W_DEPTH: push(vm, scal((double)vm->ss_idx - 1.0)); break;
+    case W_TOR:   rpush(h, pop(h)); break;
+    case W_RFROM: push(h, rpop(h)); break;
+    case W_RAT:   push(h, dup_du(h.rs[h.rsi - 1])); break;
+    case W_I:     push(h, h.rs[h.rsi - 1]); break;
+    case W_EXIT:  h.ip = d2i(rpop(h)); break;
+    case W_BL:    push(h, 32.0f); break;
+    case W_DEPTH: push(h, scal((double)h.ssi - 1.0)); break;
     default: break;
     }
+}
+
+// through-vm wrappers for the (cold) outer-interpreter call sites
+static void native_word(T4VM *vm, int id) {
+    Hot h;
+    h_load(vm, h);
+    native_word_h(vm, h, id);
+    h_store(vm, h);
+}
+static inline void push_vm(T4VM *vm, float v) {
+    Hot h;
+    h_load(vm, h);
+    push(h, v);
+    h_store(vm, h);
+}
+static inline void rpush_vm(T4VM *vm, float v) {
+    Hot h;
+    h_load(vm, h);
+    rpush(h, v);
+    h_store(vm, h);
 }
 
 // ---- inner interpreter ------------------------------------------------------------
@@ -346,120 +402,209 @@ static int32_t t4_nest_body(T4VM *vm, const int16_t *table,
                             int32_t table_len, t4_cb cb, T4Guard *G) {
     vm->state = ST_NEST;
     uint8_t *pm = vm->pmem;
-    while (vm->ip && vm->state == ST_NEST) {
-        if (vm->ip < 0 || vm->ip + 8 > vm->pmem_sz) {   // wild ip: stop
-            vm->ip = 0;
-            vm->state = ST_QUERY;
-            break;
-        }
-        uint32_t u;
-        memcpy(&u, pm + vm->ip, 4);
-        uint32_t ioff = u & 0xFFFFFF;
-        uint32_t op   = (u >> 24) & 0x1F;
-        bool udf      = (u & 0x40000000u) != 0;
-        bool fexit    = (u & 0x80000000u) != 0;
-        vm->ip += 4;
-        switch (op) {
-        case P_EXIT: vm->ip = d2i(rpop(vm)); break;
-        case P_LIT: {
-            float v;
-            memcpy(&v, pm + vm->ip, 4);
-            sput(vm, vm->tos);
-            vm->tos = dup_du(v);
-            vm->ip += 4;
-            if (fexit) vm->ip = d2i(rpop(vm));
-        } break;
-        case P_NEXT: {
-            if (is_obj(vm->tos) && vm->rs_idx > 0 &&
-                is_obj(vm->rs[vm->rs_idx - 1])) {
-                vm->ip -= 4;            // let python re-read the param
-                guarded_cb(G, cb, -1);                 // dataset-aware NEXT
-            }
-            else {
-                float v = vm->rs[vm->rs_idx - 1] - 1.0f;
-                vm->rs[vm->rs_idx - 1] = v;
-                if (v > -1.0f + (float)DU_EPS) vm->ip = (int32_t)ioff;
-                else --vm->rs_idx;
-            }
-        } break;
-        case P_LOOP: {
-            float v = vm->rs[vm->rs_idx - 1] + 1.0f;
-            vm->rs[vm->rs_idx - 1] = v;
-            if (vm->rs[vm->rs_idx - 2] - v > (float)DU_EPS)
-                vm->ip = (int32_t)ioff;
-            else vm->rs_idx -= 2;
-        } break;
-        case P_VAR: {
-            push(vm, (float)((vm->ip + 3) & ~3));
-            if (ioff) vm->ip = (int32_t)ioff;
-            else      vm->ip = d2i(rpop(vm));
-        } break;
-        case P_STR:
-            push(vm, (float)vm->ip);
-            push(vm, (float)ioff);
-            vm->ip += ioff;
-            break;
-        case P_DOTQ:
-            vm->ip -= 4;
-            guarded_cb(G, cb, -2);                     // python prints the string
-            break;
-        case P_BRAN: vm->ip = (int32_t)ioff; break;
-        case P_ZBRAN:
-            if (is_obj(vm->tos)) {      // flag is an object (e.g. a
-                vm->ip -= 4;            // deferred scalar) — python
-                guarded_cb(G, cb, -4);                 // resolves and branches
-            }
-            else if (std::fabs((double)pop(vm)) < DU_EPS)
-                vm->ip = (int32_t)ioff;
-            break;
-        case P_FOR:
-            if (is_obj(vm->tos)) {      // future count (or dataset) —
-                vm->ip -= 4;            // python resolves/pushes
-                guarded_cb(G, cb, -5);
-            }
-            else rpush(vm, pop(vm));
-            break;
-        case P_DO:
-            if (is_obj(vm->tos) ||
-                (vm->ss_idx > 0 && is_obj(vm->ss[vm->ss_idx - 1]))) {
-                vm->ip -= 4;
-                guarded_cb(G, cb, -6);
-            }
-            else {                      // rs.push(ss.pop()); rs.push(POP())
-                rpush(vm, spop(vm));    // limit (NOS)
-                rpush(vm, vm->tos);                 // index (TOS)
-                vm->tos = vm->ss_idx > 0 ? spop(vm) : 0.0f;
-            }
-            break;
-        case P_KEY:
-            vm->ip -= 4;
-            guarded_cb(G, cb, -3);
-            break;
-        default: {                      // dictionary call
-            if (udf) {
-                rpush(vm, (float)vm->ip);
-                vm->ip = (int32_t)ioff;
-            }
-            else {
-                int16_t nid = (int32_t)ioff < table_len
-                              ? table[ioff] : (int16_t)-1;
-                // value-consuming ALU/logic words must not interpret
-                // object-handle bit patterns as numbers: when an operand
-                // at the stack top is a tagged object (tensor view,
-                // deferred scalar), run the Python word instead — its
-                // xop dispatch handles objects correctly.
-                if (nid >= W_ADD && nid <= W_UGT &&
-                    (is_obj(vm->tos) ||
-                     (vm->ss_idx > 0 && is_obj(vm->ss[vm->ss_idx - 1])) ||
-                     ((nid == W_MULDIV || nid == W_MULDIVMOD) &&
-                      vm->ss_idx > 1 && is_obj(vm->ss[vm->ss_idx - 2]))))
-                    nid = -1;
-                if (nid >= 0) native_word(vm, nid);
-                else guarded_cb(G, cb, (int32_t)ioff);
-            }
-        } break;
-        }
+    int32_t pmem_sz = vm->pmem_sz;
+    Hot h;
+    h_load(vm, h);
+    uint32_t u = 0;
+    // direct-threaded dispatch (GCC labels-as-values): one indirect
+    // jump per cell, decode REPLICATED at each handler tail so the
+    // branch predictor sees per-op jump sites (a central while/switch
+    // costs a second taken branch per cell and folds every op's
+    // successor history into one BTB slot).  ops 13..31 all mean
+    // "dictionary call", same as the old switch default.
+    static const void *tab[32] = {
+        &&L_EXIT, &&L_NEXT, &&L_LOOP, &&L_LIT, &&L_VAR, &&L_STR,
+        &&L_DOTQ, &&L_BRAN, &&L_ZBRAN, &&L_FOR, &&L_DO, &&L_KEY,
+        &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL,
+        &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL,
+        &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL, &&L_CALL,
+        &&L_CALL, &&L_CALL,
+    };
+    // callbacks may mutate ANY vm field (stack buffers and pmem
+    // included) and python may set state/ip — spill the mirror
+    // before, reload everything after, stop if python left NEST
+    #define NEST_CB(x) do { h_store(vm, h); \
+                            guarded_cb(G, cb, (x)); \
+                            pm = vm->pmem; pmem_sz = vm->pmem_sz; \
+                            h_load(vm, h); \
+                            if (vm->state != ST_NEST) goto done; \
+                       } while (0)
+    #define DISPATCH() do { \
+        if (__builtin_expect(!h.ip, 0)) goto done; \
+        /* one unsigned compare covers ip<0 AND ip+8>pmem_sz */ \
+        if (__builtin_expect((uint32_t)h.ip > (uint32_t)(pmem_sz - 8), \
+                             0)) {  /* wild ip: stop */ \
+            h.ip = 0; \
+            vm->state = ST_QUERY; \
+            goto done; \
+        } \
+        memcpy(&u, pm + h.ip, 4); \
+        h.ip += 4; \
+        goto *tab[(u >> 24) & 0x1F]; \
+    } while (0)
+
+    DISPATCH();
+
+L_EXIT:
+    h.ip = d2i(rpop(h));
+    DISPATCH();
+L_LIT: {
+        // int-domain tag handling (no xmm<->gpr moves): obj literals
+        // get the view bits OR'd while still in a gpr
+        uint32_t uv;
+        memcpy(&uv, pm + h.ip, 4);
+        h.ip += 4;
+        if (__builtin_expect((uint32_t)h.ssi >= (uint32_t)h.ss_sz, 0))
+            h.ssi = h.ssi < 0 ? 0 : h.ss_sz - 1;
+        h.ss[h.ssi++] = h.tos;
+        if (__builtin_expect(uv & 1u, 0)) uv |= 3u;    // dup_du
+        h.tos = u2f(uv);
+        if (u & 0x80000000u) h.ip = d2i(rpop(h));      // fused exit
+        DISPATCH();
     }
+L_NEXT:
+    // NB keep the counter maths xmm-resident: an int-domain load of
+    // rs[rsi-1] (tried r5) put a gpr->xmm move on the loop-carried
+    // dependency chain and LOST ~15%
+    if (is_obj(h.tos) && h.rsi > 0 && is_obj(h.rs[h.rsi - 1])) {
+        h.ip -= 4;                      // let python re-read the param
+        NEST_CB(-1);                                   // dataset-aware NEXT
+    }
+    else {
+        float v = h.rs[h.rsi - 1] - 1.0f;
+        h.rs[h.rsi - 1] = v;
+        if (v > -1.0f + (float)DU_EPS) h.ip = (int32_t)(u & 0xFFFFFF);
+        else --h.rsi;
+    }
+    DISPATCH();
+L_LOOP: {
+        float v = h.rs[h.rsi - 1] + 1.0f;
+        h.rs[h.rsi - 1] = v;
+        if (h.rs[h.rsi - 2] - v > (float)DU_EPS)
+            h.ip = (int32_t)(u & 0xFFFFFF);
+        else h.rsi -= 2;
+        DISPATCH();
+    }
+L_VAR: {
+        uint32_t ioff = u & 0xFFFFFF;
+        push(h, (float)((h.ip + 3) & ~3));
+        if (ioff) h.ip = (int32_t)ioff;
+        else      h.ip = d2i(rpop(h));
+        DISPATCH();
+    }
+L_STR: {
+        uint32_t ioff = u & 0xFFFFFF;
+        push(h, (float)h.ip);
+        push(h, (float)ioff);
+        h.ip += ioff;
+        DISPATCH();
+    }
+L_DOTQ:
+    h.ip -= 4;
+    NEST_CB(-2);                         // python prints the string
+    DISPATCH();
+L_BRAN:
+    h.ip = (int32_t)(u & 0xFFFFFF);
+    DISPATCH();
+L_ZBRAN:
+    if (is_obj(h.tos)) {                // flag is an object (e.g. a
+        h.ip -= 4;                      // deferred scalar) — python
+        NEST_CB(-4);                    // resolves and branches
+    }
+    else if (std::fabs((double)pop(h)) < DU_EPS)
+        h.ip = (int32_t)(u & 0xFFFFFF);
+    DISPATCH();
+L_FOR:
+    if (is_obj(h.tos)) {                // future count (or dataset) —
+        h.ip -= 4;                      // python resolves/pushes
+        NEST_CB(-5);
+    }
+    else rpush(h, pop(h));
+    DISPATCH();
+L_DO:
+    if (is_obj(h.tos) ||
+        (h.ssi > 0 && is_obj(h.ss[h.ssi - 1]))) {
+        h.ip -= 4;
+        NEST_CB(-6);
+    }
+    else {                              // rs.push(ss.pop()); rs.push(POP())
+        rpush(h, spop(h));              // limit (NOS)
+        rpush(h, h.tos);                            // index (TOS)
+        h.tos = h.ssi > 0 ? spop(h) : 0.0f;
+    }
+    DISPATCH();
+L_KEY:
+    h.ip -= 4;
+    NEST_CB(-3);
+    DISPATCH();
+L_CALL: {                               // dictionary call
+        uint32_t ioff = u & 0xFFFFFF;
+        if (u & 0x40000000u) {          // udf colon word
+            rpush(h, (float)h.ip);
+            h.ip = (int32_t)ioff;
+            DISPATCH();
+        }
+        int16_t nid = (int32_t)ioff < table_len
+                      ? table[ioff] : (int16_t)-1;
+        // value-consuming ALU/logic words must not interpret
+        // object-handle bit patterns as numbers: when an operand
+        // at the stack top is a tagged object (tensor view,
+        // deferred scalar), run the Python word instead — its
+        // xop dispatch handles objects correctly.
+        if (nid >= W_ADD && nid <= W_UGT &&
+            (is_obj(h.tos) ||
+             (h.ssi > 0 && is_obj(h.ss[h.ssi - 1])) ||
+             ((nid == W_MULDIV || nid == W_MULDIVMOD) &&
+              h.ssi > 1 && is_obj(h.ss[h.ssi - 2]))))
+            nid = -1;
+        if (__builtin_expect(nid >= 0, 1)) {
+            // hottest stack words get their OWN label + dispatch tail
+            // (one indirect jump site per word keeps BTB history per
+            // word-pair; the generic switch shares one site)
+            switch (nid) {
+            case W_DROP: goto N_DROP;
+            case W_DUP:  goto N_DUP;
+            case W_SWAP: goto N_SWAP;
+            case W_OVER: goto N_OVER;
+            case W_TOR:  goto N_TOR;
+            case W_RFROM: goto N_RFROM;
+            case W_I:    goto N_I;
+            default:
+                native_word_h(vm, h, nid);
+                DISPATCH();
+            }
+        }
+        NEST_CB((int32_t)ioff);
+        DISPATCH();
+    }
+N_DROP:
+    drop_du(vm, h.tos);
+    h.tos = h.ssi > 0 ? h.ss[--h.ssi] : 0.0f;
+    DISPATCH();
+N_DUP:
+    push(h, dup_du(h.tos));
+    DISPATCH();
+N_SWAP: {
+        float n = spop(h);
+        push(h, n);
+        DISPATCH();
+    }
+N_OVER:
+    push(h, dup_du(h.ss[h.ssi - 1]));
+    DISPATCH();
+N_TOR:
+    rpush(h, pop(h));
+    DISPATCH();
+N_RFROM:
+    push(h, rpop(h));
+    DISPATCH();
+N_I:
+    push(h, h.rs[h.rsi - 1]);
+    DISPATCH();
+done:
+    #undef NEST_CB
+    #undef DISPATCH
+    h_store(vm, h);
     return vm->state;
 }
 
@@ -566,7 +711,7 @@ static int32_t t4_outer_body(T4VM *vm, const T4Dict *dict,
             }
             if (udf) {                                  // interpret colon word
                 vm->ip = 0;
-                rpush(vm, 0.0f);
+                rpush_vm(vm, 0.0f);
                 vm->ip = (int32_t)dict->npfa[w];
                 vm->state = ST_NEST;
                 t4_nest(vm, table, table_len, cb);
@@ -598,7 +743,7 @@ static int32_t t4_outer_body(T4VM *vm, const T4Dict *dict,
                     memcpy(vm->pmem + vm->here, &v, 4);
                     vm->here += 4;
                 } else {
-                    push(vm, v);
+                    push_vm(vm, v);
                 }
                 continue;
             }
