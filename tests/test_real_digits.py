@@ -37,9 +37,17 @@ def test_digits_idx_files_are_real_bytes(digits_root):
     cp.init()
     assert (cp.size, cp.H, cp.W, cp.C) == (1500, 8, 8, 1)
     d = sklearn_ds.load_digits()
-    want = np.clip(d.images[:1500] * 15.9375, 0, 255).astype(np.uint8)
-    np.testing.assert_array_equal(cp._img[..., 0], want)
-    np.testing.assert_array_equal(cp._lbl, d.target[:1500])
+    img = np.clip(d.images * 15.9375, 0, 255).astype(np.uint8)
+    lbl = d.target.astype(np.uint8)
+    # same seed-pinned stratified split the loader materializes (the
+    # r4 first/last split was writer-disjoint: SVC oracle ceiling 93.3%)
+    per = np.random.RandomState(0).permutation(len(lbl))
+    te = np.sort(np.concatenate(
+        [per[lbl[per] == c][:30] for c in range(10)])[:297])
+    mask = np.zeros(len(lbl), bool)
+    mask[te] = True
+    np.testing.assert_array_equal(cp._img[..., 0], img[~mask])
+    np.testing.assert_array_equal(cp._lbl, lbl[~mask])
     # file on disk is standard big-endian IDX (readable by any tool)
     p = digits_root / "DIGITS/raw/train-images-idx3-ubyte"
     with open(p, "rb") as f:
@@ -58,17 +66,25 @@ def test_real_data_training_gate(t4, digits_root, monkeypatch):
     monkeypatch.delenv("T4_MAX_BATCH", raising=False)
     t4.forth("""0 trace
 25 8 8 1 nn.model
-0.5 10 conv2d relu maxpool
-flatten 64 linear relu 10 linear softmax
+0.5 16 conv2d relu maxpool
+flatten 96 linear relu 10 linear softmax
 constant m
 m batchsize dataset digits_train constant tr""")
     t4.forth("variable h variable l\n"
              ": ep 0 h ! for forward loss.ce l ! nn.hit h +! "
-             "backprop 0.01 nn.adam next ;")
-    for _ in range(8):
+             "backprop 0.01 nn.adam next ;\n"
+             ": ep2 0 h ! for forward loss.ce l ! nn.hit h +! "
+             "backprop 0.002 nn.adam next ;")
+    # flagship-grade recipe (r5): 16 epochs @ 0.01 + 8 @ 0.002 —
+    # 97.1-98.6% across seeds on the stratified split (the SVC-rbf
+    # oracle ceiling there is 98.99%; the old writer-disjoint split
+    # capped ALL models at ~93%, see io/loader.py Digits)
+    for _ in range(16):
         t4.forth("tr rewind drop m tr ep drop")
+    for _ in range(8):
+        t4.forth("tr rewind drop m tr ep2 drop")
     train_hits = int(float(t4.forth("h @ . cr").split()[0]))
-    assert train_hits >= 1400, f"train hits {train_hits}/1500"
+    assert train_hits >= 1450, f"train hits {train_hits}/1500"
 
     t4.forth("m batchsize dataset digits_test constant te")
     monkeypatch.setenv("T4_MAX_BATCH", "11")
@@ -76,4 +92,4 @@ m batchsize dataset digits_train constant tr""")
     t4.forth("te rewind drop m te ev drop")
     hits = int(float(t4.forth("g @ . cr").split()[0]))
     acc = hits / 275.0
-    assert acc >= 0.88, f"real-data held-out accuracy {acc:.3f} < 0.88"
+    assert acc >= 0.95, f"real-data held-out accuracy {acc:.3f} < 0.95"
