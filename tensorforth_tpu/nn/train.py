@@ -55,6 +55,31 @@ def _stage_batches(ds, model, max_batches: int | None = None):
     return x, y, n_batches
 
 
+def _stage_raw(ds, model, max_batches: int | None = None):
+    """corpus -> device RAW sample buffer (u8 for real corpora) +
+    int32 labels.  The epoch scan slices/normalizes/onehots IN-PROGRAM
+    (exactly like the word path's chunk executable,
+    funcs.get_fused_chunk_ds) — staging f32 batches + staged onehots
+    cost 4x+ the HBM read traffic per epoch and was the dominant share
+    of nn.train's 2x-vs-word-path gap (VERDICT r4 weak #6)."""
+    cp = ds._corpus
+    if cp is None:
+        raise ValueError("dataset has no corpus bound")
+    batch = ds.batch_sz
+    import os
+    size = cp.size
+    max_b = int(os.environ.get("T4_MAX_BATCH", "0"))
+    n_batches = size // batch
+    if max_b:
+        n_batches = min(n_batches, max_b)
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    data, labels = cp._read(0, n_batches * batch)
+    buf = jnp.asarray(data)          # u8 stays u8 on device
+    lab = jnp.asarray(labels, jnp.int32)
+    return buf, lab, n_batches
+
+
 def _mesh_from_env():
     """T4_MESH=dp4,tp2 -> (dp, tp) mesh; T4_MESH=dp2,ep4 -> (dp, ep)
     expert-parallel mesh (MoE experts shard, dense layers replicate).
@@ -156,9 +181,15 @@ def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
     opt_m = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
     opt_v = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
     step = make_ref_batch_step(program, lr)
-    x, y, n_batches = _stage_batches(ds, model)
+    buf, lab, n_batches = _stage_raw(ds, model)
+    batch = ds.batch_sz
+    in_shape = (batch,) + tuple(model[0].shape[1:])
+    classes = model[-1].HWC()
+    mean = jnp.float32(ds._mean)
+    scale = jnp.float32(ds._scale)
 
     mesh = _mesh_from_env()
+    bsh = None
     if mesh is not None:                      # SPMD: dp batches, tp features
         from ..parallel.mesh import shard_params
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -168,32 +199,46 @@ def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
             for pl_, sl in zip(params, psh))
         opt_m = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
         opt_v = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
-        bsh = NamedSharding(mesh, P(None, "dp"))   # [n_batches, batch, ...]
-        x = jax.device_put(x, bsh)
-        y = jax.device_put(y, bsh)
+        # the raw corpus replicates (each device slices its batch shard
+        # locally — zero-communication fetch, same as the word path)
+        buf = jax.device_put(buf, NamedSharding(mesh, P()))
+        lab = jax.device_put(lab, NamedSharding(mesh, P()))
+        bsh = NamedSharding(mesh, P("dp"))
         if trace:
             from ..system import System
             System.get_sys().pstr(
                 f"\\   nn.train mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}\n")
 
     @jax.jit
-    def epoch(params, opt_m, opt_v, xs, ys, key):
-        # xs/ys are arguments, not closed over: multi-host global
+    def epoch(params, opt_m, opt_v, buf, lab, key):
+        # buf/lab are arguments, not closed over: multi-host global
         # arrays span non-addressable devices and cannot be captured
-        # as jit constants (found by the real 2-process test)
-        def body(carry, xy):
+        # as jit constants (found by the real 2-process test).  Batch
+        # slice + normalize + onehot run IN-PROGRAM from the raw
+        # buffer — the math is bit-identical to the old staged-f32
+        # form ((u8->f32 - mean) * scale in the same op order), the
+        # HBM read per epoch drops 4x+ (u8 vs f32 + staged onehots)
+        def body(carry, i):
             p, m, v = carry
-            p, m, v, l = step(p, m, v, xy[0], xy[1], key)
+            d = jax.lax.dynamic_slice_in_dim(buf, i * batch, batch, 0)
+            x = ((d.astype(jnp.float32) - mean) * scale).reshape(in_shape)
+            hot = jax.nn.one_hot(
+                jax.lax.dynamic_slice_in_dim(lab, i * batch, batch, 0),
+                classes, dtype=jnp.float32).reshape(batch, 1, classes, 1)
+            if bsh is not None:
+                x = jax.lax.with_sharding_constraint(x, bsh)
+                hot = jax.lax.with_sharding_constraint(hot, bsh)
+            p, m, v, l = step(p, m, v, x, hot, key)
             return (p, m, v), l
         (p, m, v), ls = jax.lax.scan(body, (params, opt_m, opt_v),
-                                     (xs, ys))
+                                     jnp.arange(n_batches))
         return p, m, v, ls.mean()
 
     loss = 0.0
     from ..system import System
     sys = System.get_sys()
     for e in range(epochs):
-        params, opt_m, opt_v, lv = epoch(params, opt_m, opt_v, x, y,
+        params, opt_m, opt_v, lv = epoch(params, opt_m, opt_v, buf, lab,
                                          jax.random.PRNGKey(e))
         if trace:
             loss = float(lv)
