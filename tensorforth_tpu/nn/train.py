@@ -19,6 +19,8 @@ from the epoch counter) — see docs/ARCHITECTURE.md §Deviations.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -55,13 +57,18 @@ def _stage_batches(ds, model, max_batches: int | None = None):
     return x, y, n_batches
 
 
+_RAW_CACHE: dict = {}
+
+
 def _stage_raw(ds, model, max_batches: int | None = None):
     """corpus -> device RAW sample buffer (u8 for real corpora) +
     int32 labels.  The epoch scan slices/normalizes/onehots IN-PROGRAM
     (exactly like the word path's chunk executable,
     funcs.get_fused_chunk_ds) — staging f32 batches + staged onehots
-    cost 4x+ the HBM read traffic per epoch and was the dominant share
-    of nn.train's 2x-vs-word-path gap (VERDICT r4 weak #6)."""
+    cost 4x+ the HBM read traffic per epoch (VERDICT r4 weak #6).
+    The staged device buffers are cached per (corpus, span): corpus
+    bytes are immutable once loaded, and re-uploading 10s of MB over
+    the tunneled link on EVERY nn.train call dominated repeat calls."""
     cp = ds._corpus
     if cp is None:
         raise ValueError("dataset has no corpus bound")
@@ -74,10 +81,16 @@ def _stage_raw(ds, model, max_batches: int | None = None):
         n_batches = min(n_batches, max_b)
     if max_batches:
         n_batches = min(n_batches, max_batches)
-    data, labels = cp._read(0, n_batches * batch)
-    buf = jnp.asarray(data)          # u8 stays u8 on device
-    lab = jnp.asarray(labels, jnp.int32)
-    return buf, lab, n_batches
+    key = (id(cp), size, n_batches * batch)
+    hit = _RAW_CACHE.get(key)
+    if hit is None:
+        data, labels = cp._read(0, n_batches * batch)
+        buf = jnp.asarray(data)          # u8 stays u8 on device
+        lab = jnp.asarray(labels, jnp.int32)
+        if len(_RAW_CACHE) > 8:          # bound device residency
+            _RAW_CACHE.clear()
+        _RAW_CACHE[key] = hit = (buf, lab)
+    return hit[0], hit[1], n_batches
 
 
 def _mesh_from_env():
@@ -165,13 +178,69 @@ def make_ref_batch_step(program, lr: float, b1: float = ADAM_B1,
 
 def write_back(model, params):
     """copy trained params into the interpreter's model — table-driven
-    over whatever _params() emitted (fixes the round-1 ATTN data loss)"""
+    over whatever _params() emitted (fixes the round-1 ATTN data loss).
+
+    All leaves leave the device as ONE flattened fetch: per-leaf
+    device_get is one tunnel round-trip EACH (~25-30 ms on the
+    tunneled TPU — ~0.3 s per nn.train call for a 12-leaf CNN), while
+    the concatenate is a handful of async dispatches plus a single
+    transfer (VERDICT r4 weak #6 cost split)."""
+    leaves = []
+    for j in range(model.numel - 1):
+        for w in params[j]:
+            leaves.append(w.reshape(-1).astype(jnp.float32))
+    if not leaves:
+        return
+    flat = np.asarray(jax.device_get(jnp.concatenate(leaves)),
+                      np.float32)
+    off = 0
     for j in range(model.numel - 1):
         t_in = model[j]
         for k, w in enumerate(params[j]):
             g = t_in.grad[k]
-            g.replace_data(np.asarray(jax.device_get(w),
-                                      np.float32).reshape(g.shape))
+            n = int(np.prod(g.shape))
+            g.replace_data(flat[off:off + n].reshape(g.shape))
+            off += n
+
+
+@functools.lru_cache(maxsize=32)
+def _make_epoch(program, lr: float, batch: int, in_shape, classes: int,
+                n_batches: int, bsh):
+    """cached jitted epoch executable.  Defining the jit inside
+    train_epochs made every nn.train call a FRESH function object —
+    retrace + remote compile (seconds on the tunnel) on every call
+    even for an identical model/corpus (VERDICT r4 weak #6: this, the
+    per-leaf write_back fetches, and the per-call corpus re-upload
+    were the 'missing 2x', not the scan math).  mean/scale are traced
+    args so normalization changes don't grow the cache."""
+    step = make_ref_batch_step(program, lr)
+
+    @jax.jit
+    def epoch(params, opt_m, opt_v, buf, lab, mean, scale, key):
+        # buf/lab are arguments, not closed over: multi-host global
+        # arrays span non-addressable devices and cannot be captured
+        # as jit constants (found by the real 2-process test).  Batch
+        # slice + normalize + onehot run IN-PROGRAM from the raw
+        # buffer — the math is bit-identical to the old staged-f32
+        # form ((u8->f32 - mean) * scale in the same op order), the
+        # HBM read per epoch drops 4x+ (u8 vs f32 + staged onehots)
+        def body(carry, i):
+            p, m, v = carry
+            d = jax.lax.dynamic_slice_in_dim(buf, i * batch, batch, 0)
+            x = ((d.astype(jnp.float32) - mean) * scale).reshape(in_shape)
+            hot = jax.nn.one_hot(
+                jax.lax.dynamic_slice_in_dim(lab, i * batch, batch, 0),
+                classes, dtype=jnp.float32).reshape(batch, 1, classes, 1)
+            if bsh is not None:
+                x = jax.lax.with_sharding_constraint(x, bsh)
+                hot = jax.lax.with_sharding_constraint(hot, bsh)
+            p, m, v, l = step(p, m, v, x, hot, key)
+            return (p, m, v), l
+        (p, m, v), ls = jax.lax.scan(body, (params, opt_m, opt_v),
+                                     jnp.arange(n_batches))
+        return p, m, v, ls.mean()
+
+    return epoch
 
 
 def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
@@ -180,7 +249,6 @@ def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
     params = model._params()
     opt_m = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
     opt_v = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)
-    step = make_ref_batch_step(program, lr)
     buf, lab, n_batches = _stage_raw(ds, model)
     batch = ds.batch_sz
     in_shape = (batch,) + tuple(model[0].shape[1:])
@@ -209,36 +277,15 @@ def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
             System.get_sys().pstr(
                 f"\\   nn.train mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}\n")
 
-    @jax.jit
-    def epoch(params, opt_m, opt_v, buf, lab, key):
-        # buf/lab are arguments, not closed over: multi-host global
-        # arrays span non-addressable devices and cannot be captured
-        # as jit constants (found by the real 2-process test).  Batch
-        # slice + normalize + onehot run IN-PROGRAM from the raw
-        # buffer — the math is bit-identical to the old staged-f32
-        # form ((u8->f32 - mean) * scale in the same op order), the
-        # HBM read per epoch drops 4x+ (u8 vs f32 + staged onehots)
-        def body(carry, i):
-            p, m, v = carry
-            d = jax.lax.dynamic_slice_in_dim(buf, i * batch, batch, 0)
-            x = ((d.astype(jnp.float32) - mean) * scale).reshape(in_shape)
-            hot = jax.nn.one_hot(
-                jax.lax.dynamic_slice_in_dim(lab, i * batch, batch, 0),
-                classes, dtype=jnp.float32).reshape(batch, 1, classes, 1)
-            if bsh is not None:
-                x = jax.lax.with_sharding_constraint(x, bsh)
-                hot = jax.lax.with_sharding_constraint(hot, bsh)
-            p, m, v, l = step(p, m, v, x, hot, key)
-            return (p, m, v), l
-        (p, m, v), ls = jax.lax.scan(body, (params, opt_m, opt_v),
-                                     jnp.arange(n_batches))
-        return p, m, v, ls.mean()
+    epoch = _make_epoch(program, float(lr), batch, in_shape, classes,
+                        n_batches, bsh)
 
     loss = 0.0
     from ..system import System
     sys = System.get_sys()
     for e in range(epochs):
         params, opt_m, opt_v, lv = epoch(params, opt_m, opt_v, buf, lab,
+                                         mean, scale,
                                          jax.random.PRNGKey(e))
         if trace:
             loss = float(lv)
