@@ -472,6 +472,134 @@ def flash_attention_bwd(q, k, v, o, lse, do, bq: int | None = None,
     return dq, dk, dv
 
 
+def _flash_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                            dq_ref, dkp_ref, dvp_ref, dq_sc,
+                            *, bq: int, bkv: int, scale: float,
+                            causal: bool, hybrid: bool = False):
+    """Single-kernel 5-dot backward: grid (B, n_q, n_kv), q block
+    stationary.  Each (q, kv) visit issues FIVE dots — s2 = q2·kᵀ,
+    dp = do·vᵀ, dq += ds·k, dvp = pᵀ·do, dkp = dsᵀ·q2 — where the
+    two-kernel split re-issues s2 and dp in both kernels (7 dots
+    total).  dq accumulates in VMEM scratch across the kv stream;
+    dk/dv leave as PER-Q-BLOCK PARTIALS [B, n_q, S, dh] (each output
+    block written exactly once — no cross-grid-dim accumulation
+    hazards) and a single XLA reduce outside sums the n_q axis.  The
+    partial traffic (2·n_q·B·S·dh·4 B write + read) is linear in S
+    while the dot savings are quadratic, so the trade improves with S.
+    Causal fully-masked visits must still WRITE (blocks are visited
+    once), so they store zeros — the skip saves the dots only."""
+    q_i = pl.program_id(1)
+    kv_i = pl.program_id(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    def compute():
+        q2 = q_ref[0]                               # [bq, dh] base-2 scaled
+        k = k_ref[0]                                # [bkv, dh]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse2 = lse_ref[0][:, 0:1]                   # [bq, 1] base-2 lse
+        delta = d_ref[0][:, 0:1]                    # [bq, 1] Σ do·o
+        s2 = _dot(q2, k.T, hybrid)
+        if causal:
+            rows = q_i * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bkv), 0)
+            cols = kv_i * bkv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bkv), 1)
+            s2 = jnp.where(cols <= rows, s2, NEG_INF)
+        p = jnp.exp2(s2 - lse2)                     # [bq, bkv] exact probs
+        dp = _dot(do, v.T, hybrid)
+        ds = p * (dp - delta)                       # nats-domain ds
+        dq_sc[:] += _dot(ds, k, hybrid)
+        dvp_ref[0, 0] = _dot(p.T, do, hybrid)
+        # dsᵀ·q2 = (scale·log2e)·dsᵀ·q, so ·ln2 restores scale·dsᵀ·q
+        dkp_ref[0, 0] = _dot(ds.T, q2, hybrid) * _LN2
+
+    if causal:
+        @pl.when(kv_i * bkv <= q_i * bq + bq - 1)
+        def _active():
+            compute()
+
+        @pl.when(kv_i * bkv > q_i * bq + bq - 1)
+        def _masked():
+            dkp_ref[0, 0] = jnp.zeros_like(dkp_ref[0, 0])
+            dvp_ref[0, 0] = jnp.zeros_like(dvp_ref[0, 0])
+    else:
+        compute()
+
+    @pl.when(kv_i == pl.num_programs(2) - 1)
+    def _flush():
+        dq_ref[0] = dq_sc[:] * scale
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bq", "bkv", "causal", "interpret",
+                                    "hybrid"))
+def flash_attention_bwd_fused(q, k, v, o, lse, do, bq: int | None = None,
+                              bkv: int | None = None, causal: bool = False,
+                              interpret: bool = False, hybrid: bool = False,
+                              dlse=None):
+    """Single-kernel flash backward (see _flash_bwd_fused_kernel):
+    same signature and outputs as flash_attention_bwd, 5 in-kernel dots
+    per (q, kv) block pair instead of the two-kernel split's 7, at the
+    cost of 2·n_q·B·S·dh f32 partial traffic + an XLA reduce.  Own
+    roadmap item (docs/ROADMAP.md r5 #2) / VERDICT r4 next #9."""
+    b, s, dh = q.shape
+    if bq is None:
+        bq = _fit_block(s, 1024)
+    if bkv is None:
+        bkv = _fit_block(s, 512)
+    bq = min(bq, s)
+    bkv = min(bkv, s)
+    assert s % bq == 0 and s % bkv == 0, "seq not divisible by block"
+    n_q = s // bq
+    scale = 1.0 / math.sqrt(dh)
+    q2 = q * jnp.float32(scale * _LOG2E)
+    lse2 = lse * jnp.float32(_LOG2E)
+    delta = jnp.broadcast_to(
+        jnp.sum(do * o, axis=-1, keepdims=True), lse.shape)
+    if dlse is not None:
+        delta = delta - jnp.broadcast_to(dlse[..., None], lse.shape)
+    if hybrid:
+        q2 = q2.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+        do = do.astype(jnp.bfloat16)
+
+    q_at = pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0))
+    kv_at = pl.BlockSpec((1, bkv, dh), lambda bi, qi, ki: (bi, ki, 0))
+    lse_at = pl.BlockSpec((1, bq, 128), lambda bi, qi, ki: (bi, qi, 0))
+    dq, dkp, dvp = pl.pallas_call(
+        functools.partial(_flash_bwd_fused_kernel, bq=bq, bkv=bkv,
+                          scale=scale, causal=causal, hybrid=hybrid),
+        grid=(b, n_q, s // bkv),
+        in_specs=[q_at, kv_at, kv_at, q_at, lse_at, lse_at],
+        out_specs=[
+            pl.BlockSpec((1, bq, dh), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, 1, bkv, dh), lambda bi, qi, ki: (bi, qi, ki, 0)),
+            pl.BlockSpec((1, 1, bkv, dh), lambda bi, qi, ki: (bi, qi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_q, s, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_q, s, dh), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(5 if causal else 10) * b * s * s * dh,
+            bytes_accessed=6 * b * s * dh * 4 + 4 * b * n_q * s * dh * 4,
+            transcendentals=b * s * s // (2 if causal else 1),
+        ),
+        interpret=interpret,
+    )(q2, k, v, do, lse2, delta)
+    return dq, dkp.sum(axis=1), dvp.sum(axis=1)
+
+
 # ===========================================================================
 # differentiable (o, lse) pairing — the ring-attention chunk core
 # ===========================================================================

@@ -329,3 +329,40 @@ def test_flash_default_blocks_odd_seq_fwd_bwd(t4):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
                 err_msg=f"S=1536 bwd {nm} (causal={causal})")
+
+
+def test_flash_backward_fused_matches_two_kernel(t4):
+    """the single-kernel 5-dot backward (flash_attention_bwd_fused) must
+    match the shipping two-kernel split bit-for-bit in structure terms
+    (same recompute math, same block sizes) — non-causal and causal,
+    with and without a dlse cotangent, at a multi-q-block shape so the
+    partial reduce axis is exercised (VERDICT r4 next #9)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tensorforth_tpu.ops.attn_pallas import (
+        flash_attention, flash_attention_bwd, flash_attention_bwd_fused)
+
+    ks = jax.random.split(jax.random.PRNGKey(23), 5)
+    b, s, dh = 2, 1024, 128            # bq=512 default -> n_q=2 partials
+    q = jax.random.normal(ks[0], (b, s, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, dh), jnp.float32)
+    do = jax.random.normal(ks[3], (b, s, dh), jnp.float32)
+    dlse = jax.random.normal(ks[4], (b, s), jnp.float32) * 0.1
+
+    for causal in (False, True):
+        for dl in (None, dlse):
+            o, lse = flash_attention(q, k, v, causal=causal,
+                                     return_lse=True, interpret=True)
+            want = flash_attention_bwd(q, k, v, o, lse, do, bq=256,
+                                       bkv=256, causal=causal,
+                                       interpret=True, dlse=dl)
+            got = flash_attention_bwd_fused(q, k, v, o, lse, do, bq=256,
+                                            bkv=256, causal=causal,
+                                            interpret=True, dlse=dl)
+            for g, w, nm in zip(got, want, ("dq", "dk", "dv")):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5,
+                    err_msg=f"fused bwd {nm} (causal={causal}, "
+                            f"dlse={'y' if dl is not None else 'n'})")
