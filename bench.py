@@ -27,6 +27,7 @@ Methodology (VERDICT r2 #1/#3):
   2.8x on word-epoch).
 """
 import json
+import math
 import os
 import sys
 import time
@@ -418,14 +419,22 @@ variable hit 0 hit ! variable lox
             samples.append(ms / (2 * n_batches))
             if scan_timer is not None:
                 ratios.append(samples[-1] / scan_timer())
-            # the real product comparator, same window: 2 fused epochs
-            # through the nn.train word (sync = loss readback +
-            # write_back's single flattened fetch)
+            # the real product comparator: both windows do the SAME
+            # task — train 2 epochs AND report a stat (the word window
+            # reads `hit @` inside, nn.train prints its loss inside);
+            # each therefore pays its stat readback plus the closing
+            # clock sync, so the ratio isolates the paths' own costs
+            run("bds rewind")
+            out = run('clock bm bds ep drop bds rewind drop '
+                      'bm bds ep drop hit @ . 0 hit ! clock swap - '
+                      '." WEPMS= " . cr')
+            w_ms = float(re.search(r"WEPMS= ([-+\d.eE]+) ",
+                                   out).group(1))
             out = run('clock bm bds 0.001 2 nn.train drop '
                       'clock swap - ." NNMS= " . cr')
             nn_ms = float(re.search(r"NNMS= ([-+\d.eE]+) ",
                                     out).group(1))
-            nn_ratios.append(ms / nn_ms)
+            nn_ratios.append(w_ms / nn_ms)
         return samples, ratios, nn_ratios
     finally:
         os.environ.pop("T4_MAX_BATCH", None)
@@ -582,7 +591,8 @@ def bench_attention_oracle(nh: int = 16, s: int = 2048, dh: int = 128,
     hidden' argument ships as a measurable number."""
     import jax
     import jax.numpy as jnp
-    from tensorforth_tpu.ops.attn_pallas import flash_attention
+    from tensorforth_tpu.ops.attn_pallas import (flash_attention,
+                                                 flash_attention_lse)
 
     ks = jax.random.split(jax.random.PRNGKey(5), 3)
     q = jax.random.normal(ks[0], (nh, s, dh), jnp.float32)
@@ -629,8 +639,10 @@ def bench_attention_oracle(nh: int = 16, s: int = 2048, dh: int = 128,
                     a, b, c, causal=cz, sm_scale=sm)),
             ),
             f"bwd{tag}": (
-                chain_grad(lambda a, b, c, cz=causal: flash_attention(
-                    a, b, c, causal=cz, hybrid=True)),
+                # jax.grad needs the custom-vjp wrapper (the raw
+                # pallas_call has no autodiff rule)
+                chain_grad(lambda a, b, c, cz=causal: flash_attention_lse(
+                    a, b, c, cz, True)[0]),
                 chain_grad(lambda a, b, c, cz=causal: jaxlib_flash(
                     a, b, c, causal=cz, sm_scale=sm)),
             ),
@@ -642,7 +654,8 @@ def bench_attention_oracle(nh: int = 16, s: int = 2048, dh: int = 128,
                 float(ours(q, k, v)[0, 0, 0])
                 float(stock(q4, k4, v4)[0, 0, 0, 0])
             except Exception as e:
-                print(f"[bench] oracle {name} failed: {e}",
+                print(f"[bench] oracle {name} failed: "
+                      f"{type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)
                 continue
             ratios = []
@@ -655,8 +668,9 @@ def bench_attention_oracle(nh: int = 16, s: int = 2048, dh: int = 128,
                 ratios.append((time.perf_counter() - t0) / t_ours)
             out[name] = ratios
     try:
-        out["dots_only_tflops"] = _attn_dots_probe(nh, s, dh, n_iter,
-                                                   reps)
+        dots, full_vs_dots = _attn_dots_probe(nh, s, dh, n_iter, reps)
+        out["dots_only_tflops"] = dots
+        out["full_vs_dots_time_ratio"] = full_vs_dots
     except Exception as e:
         print(f"[bench] dots probe failed: {e}", file=sys.stderr,
               flush=True)
@@ -710,16 +724,39 @@ def _attn_dots_probe(nh: int, s: int, dh: int, n_iter: int, reps: int):
         q, _ = jax.lax.scan(body, q, None, length=n_iter)
         return q
 
+    # interleave against the REAL kernel: standalone dots-only TF/s
+    # drift 1.5x+ across tunnel windows, so only the within-window
+    # ratio full_kernel/dots_only means anything (1.0 = softmax fully
+    # hidden behind the MXU)
+    from tensorforth_tpu.ops.attn_pallas import flash_attention
+
+    @jax.jit
+    def run_real(q, k, v):
+        def body(q, _):
+            return flash_attention(q.astype(jnp.float32), k, v,
+                                   hybrid=True).astype(jnp.bfloat16), None
+        q, _ = jax.lax.scan(body, q, None, length=n_iter)
+        return q
+
     print("[bench] compiling dots-only probe ...", file=sys.stderr,
           flush=True)
     float(run(q, k, v)[0, 0, 0])
+    float(run_real(q, k.astype(jnp.float32),
+                   v.astype(jnp.float32))[0, 0, 0])
     flops = 4.0 * nh * s * s * dh * n_iter
-    samples = []
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    samples, ratios = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(run(q, k, v)[0, 0, 0])
-        samples.append(flops / (time.perf_counter() - t0) / 1e12)
-    return samples
+        t_dots = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_real(q, kf, vf)[0, 0, 0])
+        t_real = time.perf_counter() - t0
+        samples.append(flops / t_dots / 1e12)
+        ratios.append(t_real / t_dots)
+    return samples, ratios
 
 
 def bench_serving(batch: int = 8, n_prompt: int = 32, n_new: int = 224,
@@ -771,14 +808,20 @@ def bench_serving_big(batch: int = 8, kv: int = 4096, dim: int = 1024,
           f"L={layers} kv={kv} b={batch}) ...", file=sys.stderr,
           flush=True)
     generate(m, prompt, n_new)                  # compile + warm
-    samples = []
-    for _ in range(reps):
+    print("[bench] compiling optimized decode (bf16 KV + windows) ...",
+          file=sys.stderr, flush=True)
+    generate(m, prompt, n_new, kv_dtype="bfloat16", win=512)
+    samples, opt_samples = [], []
+    for _ in range(reps):                       # interleaved per rep
         t0 = time.perf_counter()
         generate(m, prompt, n_new)
         samples.append(batch * n_new / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        generate(m, prompt, n_new, kv_dtype="bfloat16", win=512)
+        opt_samples.append(batch * n_new / (time.perf_counter() - t0))
     dh = dim // heads
     cache_gb_per_step = layers * 2 * batch * heads * kv * dh * 4 / 1e9
-    return samples, cache_gb_per_step
+    return samples, opt_samples, cache_gb_per_step
 
 
 def run_accuracy_gate(epochs: int = 20, n_batches: int = 0,
@@ -979,7 +1022,7 @@ def main():
         print(f"[bench] serving failed: {e}", file=sys.stderr, flush=True)
 
     try:
-        big, cache_gb = bench_serving_big()
+        big, opt, cache_gb = bench_serving_big()
         m, s = _med_spread(big, 0)
         details["lm_decode_big_tokens_per_sec_med"] = m
         details["lm_decode_big_tokens_per_sec_spread"] = s
@@ -989,6 +1032,10 @@ def main():
         details["lm_decode_big_step_ms"] = round(step_ms, 4)
         details["lm_decode_big_cache_gbps"] = round(
             cache_gb / (step_ms / 1e3), 1)
+        m2, s2 = _med_spread(opt, 0)
+        details["lm_decode_big_opt_tokens_per_sec_med"] = m2
+        details["lm_decode_big_opt_spread"] = s2
+        details["lm_decode_big_opt_speedup"] = round(m2 / m, 2)
     except Exception as e:
         print(f"[bench] big serving failed: {e}", file=sys.stderr,
               flush=True)
@@ -1025,6 +1072,10 @@ def main():
             m, s = _med_spread(orc["dots_only_tflops"])
             details["flash_dots_only_tflops_med"] = m
             details["flash_dots_only_spread"] = s
+        if "full_vs_dots_time_ratio" in orc:
+            m, s = _med_spread(orc["full_vs_dots_time_ratio"], 3)
+            details["flash_full_vs_dots_time_ratio"] = m
+            details["flash_full_vs_dots_spread"] = s
     except Exception as e:
         print(f"[bench] attention oracle failed: {e}", file=sys.stderr,
               flush=True)
@@ -1068,6 +1119,7 @@ def main():
         "flash_attn_vs_jaxlib_fwd", "flash_attn_vs_jaxlib_bwd",
         "flash_attn_bwd_2k_hybrid_tflops_med",
         "lm_decode_tokens_per_sec_med", "lm_decode_big_tokens_per_sec_med",
+        "lm_decode_big_opt_tokens_per_sec_med", "lm_decode_big_opt_speedup",
         "t4_30e_test_accuracy_20ep", "real_digits_accuracy",
         "gate_corpus") if k in details}
     print(json.dumps({

@@ -45,9 +45,13 @@ def _check_program(program):
                 "(build with `1 h nn.attn`)")
 
 
-def _step_token(program, params, caches, tok, t, s_max):
+def _step_token(program, params, caches, tok, t, s_max, w: int = 0):
     """one decode step: tok [N] int32 ids at position t -> logits [N,V]
-    plus updated caches"""
+    plus updated caches.  `w` (static) limits the attention read to the
+    first w cache positions — the windowed-decode path slices the cache
+    statically per segment so early steps never stream the full padded
+    cache (decode is KV-bandwidth-bound at production shapes: 617 GB/s
+    of a ~819 GB/s v5e at dim=1024/KV=4096, bench_serving_big)."""
     n = tok.shape[0]
     x = tok.reshape(n, 1, 1, 1).astype(jnp.float32)
     new_caches = list(caches)
@@ -81,17 +85,25 @@ def _step_token(program, params, caches, tok, t, s_max):
                 q = funcs.rope_apply(q[:, :, None, :], pos)[:, :, 0]
                 k1 = funcs.rope_apply(k1[:, :, None, :], pos)[:, :, 0]
             ck, cv = new_caches[ci]
-            ck = jax.lax.dynamic_update_index_in_dim(ck, k1, t, 2)
-            cv = jax.lax.dynamic_update_index_in_dim(cv, v1, t, 2)
+            kd = ck.dtype                               # cache storage dtype
+            ck = jax.lax.dynamic_update_index_in_dim(ck, k1.astype(kd),
+                                                     t, 2)
+            cv = jax.lax.dynamic_update_index_in_dim(cv, v1.astype(kd),
+                                                     t, 2)
             new_caches[ci] = (ck, cv)
             ci += 1
-            scores = jnp.einsum("nhd,nhsd->nhs", q, ck,
+            span = w if 0 < w < s_max else s_max
+            ckr = jax.lax.slice_in_dim(ck, 0, span, axis=2)
+            cvr = jax.lax.slice_in_dim(cv, 0, span, axis=2)
+            # hybrid-GEMM treatment when the cache is bf16: bf16
+            # multiplicands, f32 accumulation (scores/softmax stay f32)
+            scores = jnp.einsum("nhd,nhsd->nhs", q.astype(kd), ckr,
                                 preferred_element_type=jnp.float32)
             scores = scores / jnp.sqrt(jnp.float32(dh))
-            pos = jax.lax.broadcasted_iota(jnp.int32, (s_max,), 0)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (span,), 0)
             scores = jnp.where(pos[None, None, :] <= t, scores, -1.0e30)
-            w = jax.nn.softmax(scores, axis=-1)
-            o = jnp.einsum("nhs,nhsd->nhd", w, cv,
+            wts = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("nhs,nhsd->nhd", wts.astype(kd), cvr,
                            preferred_element_type=jnp.float32)
             x = jnp.dot(o.reshape(n, e), p[1].T,
                         preferred_element_type=jnp.float32
@@ -121,59 +133,93 @@ def _filter_top_p(logits, p: float):
 
 @partial(jax.jit,
          static_argnames=("program", "s_max", "n_prompt", "temp",
-                          "top_k", "top_p"))
+                          "top_k", "top_p", "kv_dtype", "win"))
 def _generate(program, params, prompt, s_max: int, n_prompt: int,
-              temp: float, key, top_k: int = 0, top_p: float = 0.0):
+              temp: float, key, top_k: int = 0, top_p: float = 0.0,
+              kv_dtype: str = "float32", win: int = 0):
     """prompt [N, n_prompt] int32 -> ids [N, s_max] (prefill + decode
     in one scanned executable; greedy when temp == 0; optional top-k
-    and/or nucleus top-p filtering before the categorical draw)"""
+    and/or nucleus top-p filtering before the categorical draw).
+
+    kv_dtype: KV cache STORAGE dtype ('float32' or 'bfloat16') —
+    bfloat16 halves the per-step cache stream (decode's bound at
+    production shapes); scores/softmax/output stay f32.
+
+    win > 0 enables WINDOWED decode: the step scan splits into
+    power-of-two segments (win, 2*win, ... s_max) and each segment's
+    attention reads only its statically-sliced cache prefix, so the
+    average cache stream per step drops to ~0.6-0.7x of the padded
+    full-cache read.  Still ONE compiled program, one dispatch — the
+    segments are unrolled scans inside the same jit."""
     n = prompt.shape[0]
     heads_dims = []
     for kind, opts, shape in program:
         if kind == Layer.ATTN:
             e = shape[2]
             heads_dims.append((opts[0], e // opts[0]))
+    kd = jnp.dtype(kv_dtype)
     caches = tuple(
-        (jnp.zeros((n, h, s_max, d), jnp.float32),
-         jnp.zeros((n, h, s_max, d), jnp.float32))
+        (jnp.zeros((n, h, s_max, d), kd),
+         jnp.zeros((n, h, s_max, d), kd))
         for h, d in heads_dims)
     ids0 = jnp.zeros((n, s_max), jnp.int32)
     ids0 = jax.lax.dynamic_update_slice(ids0, prompt, (0, 0))
 
-    def step(carry, t):
-        ids, caches, key = carry
-        tok = jax.lax.dynamic_index_in_dim(ids, t, 1, keepdims=False)
-        logits, caches = _step_token(program, params, caches, tok, t,
-                                     s_max)
-        if temp > 0.0:
-            key, sub = jax.random.split(key)
-            lg = logits / temp
-            if 0 < top_k < lg.shape[-1]:
-                lg = _filter_top_k(lg, top_k)
-            if 0.0 < top_p < 1.0:
-                lg = _filter_top_p(lg, top_p)
-            nxt = jax.random.categorical(sub, lg, axis=-1)
-        else:
-            nxt = jnp.argmax(logits, axis=-1)
-        # within the prompt, the next token is given (prefill);
-        # beyond it, the model's choice extends the sequence
-        keep = (t + 1) < n_prompt
-        cur = jax.lax.dynamic_index_in_dim(
-            ids, jnp.minimum(t + 1, s_max - 1), 1, keepdims=False)
-        nxt = jnp.where(keep, cur, nxt.astype(jnp.int32))
-        ids = jax.lax.dynamic_update_index_in_dim(
-            ids, nxt, jnp.minimum(t + 1, s_max - 1), 1)
-        return (ids, caches, key), None
+    def step_w(w):
+        def step(carry, t):
+            ids, caches, key = carry
+            tok = jax.lax.dynamic_index_in_dim(ids, t, 1, keepdims=False)
+            logits, caches = _step_token(program, params, caches, tok, t,
+                                         s_max, w=w)
+            if temp > 0.0:
+                key, sub = jax.random.split(key)
+                lg = logits / temp
+                if 0 < top_k < lg.shape[-1]:
+                    lg = _filter_top_k(lg, top_k)
+                if 0.0 < top_p < 1.0:
+                    lg = _filter_top_p(lg, top_p)
+                nxt = jax.random.categorical(sub, lg, axis=-1)
+            else:
+                nxt = jnp.argmax(logits, axis=-1)
+            # within the prompt, the next token is given (prefill);
+            # beyond it, the model's choice extends the sequence
+            keep = (t + 1) < n_prompt
+            cur = jax.lax.dynamic_index_in_dim(
+                ids, jnp.minimum(t + 1, s_max - 1), 1, keepdims=False)
+            nxt = jnp.where(keep, cur, nxt.astype(jnp.int32))
+            ids = jax.lax.dynamic_update_index_in_dim(
+                ids, nxt, jnp.minimum(t + 1, s_max - 1), 1)
+            return (ids, caches, key), None
+        return step
 
-    (ids, _, _), _ = jax.lax.scan(step, (ids0, caches, key),
-                                  jnp.arange(s_max - 1))
-    return ids
+    carry = (ids0, caches, key)
+    if win <= 0 or win >= s_max:
+        carry, _ = jax.lax.scan(step_w(0), carry, jnp.arange(s_max - 1))
+    else:
+        # segment [t0, t1) may read positions 0..t1-1 -> window t1
+        t0 = 0
+        w = win
+        while t0 < s_max - 1:
+            t1 = min(w, s_max - 1)
+            carry, _ = jax.lax.scan(step_w(w), carry,
+                                    jnp.arange(t0, t1))
+            t0 = t1
+            w = min(w * 2, s_max)
+    return carry[0]
 
 
 def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
-             seed: int = 0, top_k: int = 0, top_p: float = 0.0):
+             seed: int = 0, top_k: int = 0, top_p: float = 0.0,
+             kv_dtype: str | None = None, win: int | None = None):
     """prompt_ids: [N, S0] (or [S0]) int array -> [N, S0+n_new] ids;
-    temp=0 is greedy; top_k/top_p filter the distribution when temp>0"""
+    temp=0 is greedy; top_k/top_p filter the distribution when temp>0.
+
+    kv_dtype ('float32'/'bfloat16', default env T4_KV_DTYPE or f32)
+    sets the KV cache storage dtype; win (default env T4_DECODE_WIN
+    or 0=off) enables power-of-two windowed decode — both cut the
+    per-step cache stream that bounds decode at production shapes
+    (bench_serving_big)."""
+    import os
     program = model._program()
     _check_program(program)
     params = model._params()
@@ -182,8 +228,13 @@ def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
     if squeeze:
         p = p[None]
     s_max = p.shape[1] + n_new
+    if kv_dtype is None:
+        kv_dtype = os.environ.get("T4_KV_DTYPE", "float32")
+    if win is None:
+        win = int(os.environ.get("T4_DECODE_WIN", "0"))
     ids = _generate(program, params, jnp.asarray(p), s_max, p.shape[1],
                     float(temp), jax.random.PRNGKey(seed),
-                    int(top_k), float(top_p))
+                    int(top_k), float(top_p),
+                    kv_dtype=str(kv_dtype), win=int(win))
     out = np.asarray(ids)
     return out[0] if squeeze else out

@@ -176,31 +176,30 @@ def make_ref_batch_step(program, lr: float, b1: float = ADAM_B1,
     return step
 
 
-def write_back(model, params):
+def write_back(model, params, mesh=None):
     """copy trained params into the interpreter's model — table-driven
     over whatever _params() emitted (fixes the round-1 ATTN data loss).
 
-    All leaves leave the device as ONE flattened fetch: per-leaf
-    device_get is one tunnel round-trip EACH (~25-30 ms on the
-    tunneled TPU — ~0.3 s per nn.train call for a 12-leaf CNN), while
-    the concatenate is a handful of async dispatches plus a single
-    transfer (VERDICT r4 weak #6 cost split)."""
-    leaves = []
-    for j in range(model.numel - 1):
-        for w in params[j]:
-            leaves.append(w.reshape(-1).astype(jnp.float32))
-    if not leaves:
-        return
-    flat = np.asarray(jax.device_get(jnp.concatenate(leaves)),
-                      np.float32)
-    off = 0
+    The trained leaves STAY ON DEVICE: Tensor.replace_data keeps a jax
+    array as the payload and invalidates the host mirror, so `nn.w`,
+    `forward`, `save` all observe the result (fetching lazily if a
+    host read actually happens).  The old per-leaf host fetch was one
+    ~25-30 ms tunnel round-trip EACH (~0.3 s per nn.train call for a
+    12-leaf CNN); even flattened to one fetch it cost ~55-60 ms per
+    call — ~40% of a 2-epoch call (VERDICT r4 weak #6 cost split).
+    Under a mesh the leaves are resharded to replicated ON DEVICE
+    (device_put, no host round-trip) so the single-device word path
+    can consume them directly."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
     for j in range(model.numel - 1):
         t_in = model[j]
         for k, w in enumerate(params[j]):
             g = t_in.grad[k]
-            n = int(np.prod(g.shape))
-            g.replace_data(flat[off:off + n].reshape(g.shape))
-            off += n
+            if mesh is not None:
+                w = jax.device_put(w, rep)
+            g.replace_data(w.astype(jnp.float32))
 
 
 @functools.lru_cache(maxsize=32)
@@ -295,5 +294,5 @@ def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
     model.tick()
     model._iter += n_batches * epochs
 
-    write_back(model, params)
+    write_back(model, params, mesh=mesh)
     return loss

@@ -137,3 +137,26 @@ constant blm
 2 4 matrix{ 3 1 4 1  2 7 1 8 } constant bpr
 blm bpr 8 nn.gen .""")
     assert "matrix[2,12]" in out, f"batch decode failed: {out[-400:]}"
+
+
+def test_generate_windowed_matches_baseline(t4):
+    """windowed decode (power-of-two cache-prefix segments) and a
+    bfloat16 KV cache must reproduce the baseline f32 full-cache
+    greedy decode — windowing is exact (same math, smaller static
+    slice); bf16 storage must not flip argmaxes on a confident
+    model (serving-tier optimizations, VERDICT r4 next #7)"""
+    import numpy as np
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn.serve import generate
+    m = tiny_lm(batch=1, seq=24, vocab=16, dim=16, heads=4, layers=2)
+    prompt = np.array([3, 1, 4, 1], np.int32)
+    base = generate(m, prompt, n_new=20, temp=0.0)
+    # windowing is mathematically exact -> token-identical
+    win = generate(m, prompt, n_new=20, temp=0.0, win=8)
+    np.testing.assert_array_equal(base, win, "windowed decode diverged")
+    # bf16 cache storage: same tokens on this model
+    bf = generate(m, prompt, n_new=20, temp=0.0, kv_dtype="bfloat16")
+    np.testing.assert_array_equal(base, bf, "bf16 cache flipped tokens")
+    both = generate(m, prompt, n_new=20, temp=0.0, kv_dtype="bfloat16",
+                    win=8)
+    np.testing.assert_array_equal(base, both)
