@@ -42,6 +42,16 @@ class Config:
     # training tier.
     PRECISION = os.environ.get("T4_PRECISION", "fast")
 
+    # --- serving (nn/serve.py; see bench_serving_big for the numbers)
+    # KV cache STORAGE dtype: 'bfloat16' halves the per-step cache
+    # stream that bounds decode at production shapes (scores/softmax/
+    # output stay f32); default f32 keeps exact reference-class
+    # numerics.  T4_DECODE_WIN=N (e.g. 512) enables power-of-two
+    # windowed decode — together measured 2.19x decode throughput at
+    # dim=1024/KV=4096/batch=8 on v5e.
+    KV_DTYPE = os.environ.get("T4_KV_DTYPE", "float32")
+    DECODE_WIN = int(os.environ.get("T4_DECODE_WIN", "0"))
+
     # --- printing (reference io/aio.h:80-82)
     PRINT_THRES = 10       # max cells per dimension before elision
     PRINT_EDGE  = 3        # edge items shown when eliding

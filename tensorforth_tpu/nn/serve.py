@@ -219,7 +219,7 @@ def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
     or 0=off) enables power-of-two windowed decode — both cut the
     per-step cache stream that bounds decode at production shapes
     (bench_serving_big)."""
-    import os
+    from ..config import Config
     program = model._program()
     _check_program(program)
     params = model._params()
@@ -229,9 +229,9 @@ def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
         p = p[None]
     s_max = p.shape[1] + n_new
     if kv_dtype is None:
-        kv_dtype = os.environ.get("T4_KV_DTYPE", "float32")
+        kv_dtype = Config.KV_DTYPE
     if win is None:
-        win = int(os.environ.get("T4_DECODE_WIN", "0"))
+        win = Config.DECODE_WIN
     ids = _generate(program, params, jnp.asarray(p), s_max, p.shape[1],
                     float(temp), jax.random.PRNGKey(seed),
                     int(top_k), float(top_p),
