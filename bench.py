@@ -824,6 +824,36 @@ def bench_serving_big(batch: int = 8, kv: int = 4096, dim: int = 1024,
     return samples, opt_samples, cache_gb_per_step
 
 
+def bench_prefill(batch: int = 8, n_prompt: int = 2048, n_new: int = 64,
+                  dim: int = 1024, heads: int = 8, layers: int = 4,
+                  vocab: int = 2048, reps: int = 3):
+    """long-prompt serving: batched prefill (ONE causal forward fills
+    the KV caches) vs the sequential prompt replay — at a 2k prompt
+    the replay is 2k cache-bandwidth-bound scan steps, the prefill one
+    MXU-shaped forward.  Returns (prefill_on samples, prefill_off
+    samples) in wall-seconds per generate call, interleaved."""
+    import numpy as np
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn.serve import generate
+    m = tiny_lm(batch=batch, seq=n_prompt, vocab=vocab, dim=dim,
+                heads=heads, layers=layers, rope=True)
+    rs = np.random.RandomState(0)
+    prompt = rs.randint(0, vocab, (batch, n_prompt))
+    print(f"[bench] compiling prefill serving (prompt={n_prompt} "
+          f"new={n_new}) ...", file=sys.stderr, flush=True)
+    generate(m, prompt, n_new, prefill=True)
+    generate(m, prompt, n_new, prefill=False)
+    on, off = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        generate(m, prompt, n_new, prefill=True)
+        on.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        generate(m, prompt, n_new, prefill=False)
+        off.append(time.perf_counter() - t0)
+    return on, off
+
+
 def run_accuracy_gate(epochs: int = 20, n_batches: int = 0,
                       seed: int = 42):
     """BASELINE.md gate: t4_30e CNN to >=98% accuracy (word-level API,
@@ -1041,6 +1071,18 @@ def main():
               flush=True)
 
     try:
+        on, off = bench_prefill()
+        mo, so = _med_spread(on, 3)
+        mf, sf = _med_spread(off, 3)
+        details["lm_prefill2k_s_med"] = mo
+        details["lm_prefill2k_s_spread"] = so
+        details["lm_prefill2k_sequential_s_med"] = mf
+        details["lm_prefill2k_speedup"] = round(mf / mo, 1)
+    except Exception as e:
+        print(f"[bench] prefill serving failed: {e}", file=sys.stderr,
+              flush=True)
+
+    try:
         at = bench_attention()
         for name in ("hybrid", "f32stream", "xla"):
             m, s = _med_spread(at[name])
@@ -1120,6 +1162,7 @@ def main():
         "flash_attn_bwd_2k_hybrid_tflops_med",
         "lm_decode_tokens_per_sec_med", "lm_decode_big_tokens_per_sec_med",
         "lm_decode_big_opt_tokens_per_sec_med", "lm_decode_big_opt_speedup",
+        "lm_prefill2k_speedup",
         "t4_30e_test_accuracy_20ep", "real_digits_accuracy",
         "gate_corpus") if k in details}
     print(json.dumps({

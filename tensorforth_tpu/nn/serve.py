@@ -113,6 +113,73 @@ def _step_token(program, params, caches, tok, t, s_max, w: int = 0):
     return x.reshape(n, -1), tuple(new_caches)
 
 
+def _prefill(program, params, prompt, caches):
+    """ONE full-prompt forward that fills every attention layer's KV
+    cache for positions 0..S0-1 and returns the last-position logits
+    [N, V] — replacing S0 sequential decode steps.  At a 2k prompt the
+    sequential replay costs 2k scan steps of cache-bandwidth-bound
+    decode (~0.9 s at the bench_serving_big shape); this is one
+    MXU-shaped causal forward (the same math as training's attn_op,
+    funcs.py _mha_fwd).  Exact: f32 scores/softmax/PV; K/V cast to the
+    cache storage dtype only when stored."""
+    n, s0 = prompt.shape
+    x = prompt.reshape(n, s0, 1, 1).astype(jnp.float32)
+    new_caches = list(caches)
+    ci = 0
+    for j, (kind, opts, _shape) in enumerate(program):
+        p = params[j]
+        if kind == Layer.EMBED:
+            x = funcs._embed_fwd(x, p[0], p[1])
+        elif kind == Layer.LNORM:
+            x = funcs._lnorm_fwd(x, p[0], p[1], opts[0])
+        elif kind in _POSWISE:
+            x, _ = funcs._activate_fwd(kind, x, opts[0])
+        elif kind == Layer.MOE:
+            x = funcs._moe_fwd(x, p[0], p[1], opts[2])
+        elif kind == Layer.PROJ:
+            x = funcs._proj_fwd(x, p[0], p[1])
+        elif kind == Layer.SOFTMAX:
+            pass                        # sample from logits directly
+        elif kind == Layer.ATTN:
+            heads = opts[0]
+            e = x.shape[2]
+            dh = e // heads
+            xf = x.reshape(n, s0, e)
+            qkv = jnp.dot(xf, p[0].T, preferred_element_type=jnp.float32)
+            qkv = qkv.reshape(n, s0, 3, heads, dh)
+            q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))  # [N,h,S0,dh]
+            k1 = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
+            v1 = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
+            if len(opts) > 2 and opts[2]:               # RoPE
+                pos = jnp.arange(s0)
+                q = funcs.rope_apply(q, pos)
+                k1 = funcs.rope_apply(k1, pos)
+            ck, cv = new_caches[ci]
+            kd = ck.dtype
+            ck = jax.lax.dynamic_update_slice(
+                ck, k1.astype(kd), (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v1.astype(kd), (0, 0, 0, 0))
+            new_caches[ci] = (ck, cv)
+            ci += 1
+            scores = jnp.einsum("nhqd,nhkd->nhqk", q, k1,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.float32(dh))
+            qi = jax.lax.broadcasted_iota(jnp.int32, (s0, s0), 0)
+            ki = jax.lax.broadcasted_iota(jnp.int32, (s0, s0), 1)
+            scores = jnp.where(ki[None, None] <= qi[None, None],
+                               scores, -1.0e30)
+            w = jax.nn.softmax(scores, axis=-1)
+            o = jnp.einsum("nhqk,nhkd->nhqd", w, v1,
+                           preferred_element_type=jnp.float32)
+            o = jnp.transpose(o, (0, 2, 1, 3)).reshape(n, s0, e)
+            x = jnp.dot(o, p[1].T, preferred_element_type=jnp.float32
+                        ).reshape(n, s0, e, 1)
+        else:
+            raise ValueError(f"nn.gen: unsupported layer {kind}")
+    return x.reshape(n, s0, -1)[:, -1, :], tuple(new_caches)
+
+
 def _filter_top_k(logits, k: int):
     """keep the k largest logits per row, mask the rest"""
     vals, _ = jax.lax.top_k(logits, k)
@@ -133,10 +200,12 @@ def _filter_top_p(logits, p: float):
 
 @partial(jax.jit,
          static_argnames=("program", "s_max", "n_prompt", "temp",
-                          "top_k", "top_p", "kv_dtype", "win"))
+                          "top_k", "top_p", "kv_dtype", "win",
+                          "prefill"))
 def _generate(program, params, prompt, s_max: int, n_prompt: int,
               temp: float, key, top_k: int = 0, top_p: float = 0.0,
-              kv_dtype: str = "float32", win: int = 0):
+              kv_dtype: str = "float32", win: int = 0,
+              prefill: bool = True):
     """prompt [N, n_prompt] int32 -> ids [N, s_max] (prefill + decode
     in one scanned executable; greedy when temp == 0; optional top-k
     and/or nucleus top-p filtering before the categorical draw).
@@ -150,7 +219,13 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
     attention reads only its statically-sliced cache prefix, so the
     average cache stream per step drops to ~0.6-0.7x of the padded
     full-cache read.  Still ONE compiled program, one dispatch — the
-    segments are unrolled scans inside the same jit."""
+    segments are unrolled scans inside the same jit.
+
+    prefill=True (default) runs the prompt through ONE causal forward
+    (_prefill) instead of n_prompt sequential steps — token-identical
+    for greedy decode; for temp>0 the RNG stream differs from the
+    sequential replay (one split for the prefill token instead of one
+    per prompt position)."""
     n = prompt.shape[0]
     heads_dims = []
     for kind, opts, shape in program:
@@ -165,40 +240,56 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
     ids0 = jnp.zeros((n, s_max), jnp.int32)
     ids0 = jax.lax.dynamic_update_slice(ids0, prompt, (0, 0))
 
+    def pick(logits, key):
+        """sample/argmax the next token from [N, V] logits"""
+        if temp > 0.0:
+            key, sub = jax.random.split(key)
+            lg = logits / temp
+            if 0 < top_k < lg.shape[-1]:
+                lg = _filter_top_k(lg, top_k)
+            if 0.0 < top_p < 1.0:
+                lg = _filter_top_p(lg, top_p)
+            nxt = jax.random.categorical(sub, lg, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        return nxt.astype(jnp.int32), key
+
     def step_w(w):
         def step(carry, t):
             ids, caches, key = carry
             tok = jax.lax.dynamic_index_in_dim(ids, t, 1, keepdims=False)
             logits, caches = _step_token(program, params, caches, tok, t,
                                          s_max, w=w)
-            if temp > 0.0:
-                key, sub = jax.random.split(key)
-                lg = logits / temp
-                if 0 < top_k < lg.shape[-1]:
-                    lg = _filter_top_k(lg, top_k)
-                if 0.0 < top_p < 1.0:
-                    lg = _filter_top_p(lg, top_p)
-                nxt = jax.random.categorical(sub, lg, axis=-1)
-            else:
-                nxt = jnp.argmax(logits, axis=-1)
-            # within the prompt, the next token is given (prefill);
+            nxt, key = pick(logits, key)
+            # within the prompt, the next token is given (replay);
             # beyond it, the model's choice extends the sequence
             keep = (t + 1) < n_prompt
             cur = jax.lax.dynamic_index_in_dim(
                 ids, jnp.minimum(t + 1, s_max - 1), 1, keepdims=False)
-            nxt = jnp.where(keep, cur, nxt.astype(jnp.int32))
+            nxt = jnp.where(keep, cur, nxt)
             ids = jax.lax.dynamic_update_index_in_dim(
                 ids, nxt, jnp.minimum(t + 1, s_max - 1), 1)
             return (ids, caches, key), None
         return step
 
+    t0 = 0
+    if prefill:
+        logits, caches = _prefill(program, params, prompt, caches)
+        nxt, key = pick(logits, key)
+        if n_prompt < s_max:
+            ids0 = jax.lax.dynamic_update_index_in_dim(
+                ids0, nxt, n_prompt, 1)
+        t0 = n_prompt
     carry = (ids0, caches, key)
     if win <= 0 or win >= s_max:
-        carry, _ = jax.lax.scan(step_w(0), carry, jnp.arange(s_max - 1))
+        if t0 < s_max - 1:
+            carry, _ = jax.lax.scan(step_w(0), carry,
+                                    jnp.arange(t0, s_max - 1))
     else:
         # segment [t0, t1) may read positions 0..t1-1 -> window t1
-        t0 = 0
         w = win
+        while w < t0 + 1:
+            w = min(w * 2, s_max)
         while t0 < s_max - 1:
             t1 = min(w, s_max - 1)
             carry, _ = jax.lax.scan(step_w(w), carry,
@@ -210,7 +301,8 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
 
 def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
              seed: int = 0, top_k: int = 0, top_p: float = 0.0,
-             kv_dtype: str | None = None, win: int | None = None):
+             kv_dtype: str | None = None, win: int | None = None,
+             prefill: bool = True):
     """prompt_ids: [N, S0] (or [S0]) int array -> [N, S0+n_new] ids;
     temp=0 is greedy; top_k/top_p filter the distribution when temp>0.
 
@@ -235,6 +327,7 @@ def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
     ids = _generate(program, params, jnp.asarray(p), s_max, p.shape[1],
                     float(temp), jax.random.PRNGKey(seed),
                     int(top_k), float(top_p),
-                    kv_dtype=str(kv_dtype), win=int(win))
+                    kv_dtype=str(kv_dtype), win=int(win),
+                    prefill=bool(prefill))
     out = np.asarray(ids)
     return out[0] if squeeze else out

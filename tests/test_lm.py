@@ -160,3 +160,24 @@ def test_generate_windowed_matches_baseline(t4):
     both = generate(m, prompt, n_new=20, temp=0.0, kv_dtype="bfloat16",
                     win=8)
     np.testing.assert_array_equal(base, both)
+
+
+def test_prefill_matches_sequential(t4):
+    """batched prefill (one causal forward filling the KV caches) must
+    be token-identical to the sequential prompt replay for greedy
+    decode — f32 exact; also under windows, bf16 cache, RoPE, and MoE
+    models"""
+    import numpy as np
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn.serve import generate
+    for rope in (False, True):
+        m = tiny_lm(batch=1, seq=24, vocab=16, dim=16, heads=4,
+                    layers=2, rope=rope)
+        prompt = np.array([3, 1, 4, 1, 5, 9, 2, 6], np.int32)
+        seq = generate(m, prompt, n_new=16, temp=0.0, prefill=False)
+        pre = generate(m, prompt, n_new=16, temp=0.0, prefill=True)
+        np.testing.assert_array_equal(seq, pre,
+                                      f"prefill diverged (rope={rope})")
+        both = generate(m, prompt, n_new=16, temp=0.0, prefill=True,
+                        win=8, kv_dtype="bfloat16")
+        np.testing.assert_array_equal(seq, both)
