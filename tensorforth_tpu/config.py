@@ -46,11 +46,14 @@ class Config:
     # KV cache STORAGE dtype: 'bfloat16' halves the per-step cache
     # stream that bounds decode at production shapes (scores/softmax/
     # output stay f32); default f32 keeps exact reference-class
-    # numerics.  T4_DECODE_WIN=N (e.g. 512) enables power-of-two
-    # windowed decode — together measured 2.19x decode throughput at
-    # dim=1024/KV=4096/batch=8 on v5e.
+    # numerics.  T4_DECODE_WIN=N sets power-of-two windowed decode —
+    # mathematically EXACT (same ops over a statically smaller cache
+    # prefix), so it defaults ON at 512: decodes with s_max <= 512 are
+    # untouched (one segment), longer ones stream ~0.6-0.7x the cache.
+    # bf16 + windows together measured 2.2x decode throughput at
+    # dim=1024/KV=4096/batch=8 on v5e.  T4_DECODE_WIN=0 disables.
     KV_DTYPE = os.environ.get("T4_KV_DTYPE", "float32")
-    DECODE_WIN = int(os.environ.get("T4_DECODE_WIN", "0"))
+    DECODE_WIN = int(os.environ.get("T4_DECODE_WIN", "512"))
 
     # --- printing (reference io/aio.h:80-82)
     PRINT_THRES = 10       # max cells per dimension before elision
