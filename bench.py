@@ -807,14 +807,16 @@ def bench_serving_big(batch: int = 8, kv: int = 4096, dim: int = 1024,
     print(f"[bench] compiling BIG LM decode (dim={dim} h={heads} "
           f"L={layers} kv={kv} b={batch}) ...", file=sys.stderr,
           flush=True)
-    generate(m, prompt, n_new)                  # compile + warm
+    # baseline pins f32 full-cache (win=0) — windowed decode is the
+    # shipping DEFAULT, so the A/B must opt the control out explicitly
+    generate(m, prompt, n_new, kv_dtype="float32", win=0)
     print("[bench] compiling optimized decode (bf16 KV + windows) ...",
           file=sys.stderr, flush=True)
     generate(m, prompt, n_new, kv_dtype="bfloat16", win=512)
     samples, opt_samples = [], []
     for _ in range(reps):                       # interleaved per rep
         t0 = time.perf_counter()
-        generate(m, prompt, n_new)
+        generate(m, prompt, n_new, kv_dtype="float32", win=0)
         samples.append(batch * n_new / (time.perf_counter() - t0))
         t0 = time.perf_counter()
         generate(m, prompt, n_new, kv_dtype="bfloat16", win=512)
