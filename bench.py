@@ -359,7 +359,7 @@ def bench_word_matmul(reps: int = 5):
 
 
 def bench_word_epoch(n_batches: int = 100, batch: int = 100,
-                     reps: int = 5, scan_timer=None, nn_timer=None):
+                     reps: int = 7, scan_timer=None, nn_timer=None):
     """t4_30e inner training loop VERBATIM (forward / loss.ce lox ! /
     nn.hit hit +! / backprop / nn.adam per batch) — the interactive
     word-at-a-time path with deferred-scalar futures.  Returns
@@ -420,17 +420,23 @@ variable hit 0 hit ! variable lox
             if scan_timer is not None:
                 ratios.append(samples[-1] / scan_timer())
             # the real product comparator: both windows do the SAME
-            # task — train 2 epochs AND report a stat (the word window
-            # reads `hit @` inside, nn.train prints its loss inside);
-            # each therefore pays its stat readback plus the closing
-            # clock sync, so the ratio isolates the paths' own costs
+            # task — train FOUR epochs AND report a stat (the word
+            # window reads `hit @` inside, nn.train prints its loss
+            # inside); each pays its stat readback plus the closing
+            # clock sync.  Four epochs per window because the fixed
+            # per-window costs (~30 ms RTT jitter) swing a 2-epoch
+            # ratio by ±50% between tunnel windows (r5 spread
+            # [0.44, 0.99] at 2 epochs).
             run("bds rewind")
-            out = run('clock bm bds ep drop bds rewind drop '
+            out = run('clock '
+                      'bm bds ep drop bds rewind drop '
+                      'bm bds ep drop bds rewind drop '
+                      'bm bds ep drop bds rewind drop '
                       'bm bds ep drop hit @ . 0 hit ! clock swap - '
                       '." WEPMS= " . cr')
             w_ms = float(re.search(r"WEPMS= ([-+\d.eE]+) ",
                                    out).group(1))
-            out = run('clock bm bds 0.001 2 nn.train drop '
+            out = run('clock bm bds 0.001 4 nn.train drop '
                       'clock swap - ." NNMS= " . cr')
             nn_ms = float(re.search(r"NNMS= ([-+\d.eE]+) ",
                                     out).group(1))
