@@ -222,6 +222,15 @@ def train_pipeline(model, ds, lr: float, epochs: int, stages: int,
     from ..nn.train import (_stage_batches, write_back, ADAM_B1, ADAM_B2,
                             ADAM_EPS)
 
+    import jax
+    if jax.device_count() < stages:
+        # without the guard the 1-device failure surfaces as a cryptic
+        # ppermute uniqueness error from deep inside the stage shift
+        raise ValueError(
+            f"nn.pipe: {stages} pipeline stages need >= {stages} "
+            f"devices, have {jax.device_count()} (set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=N for a virtual "
+            f"CPU mesh)")
     program = model._program()
     params = model._params()
     from ..nn.ntypes import Layer
