@@ -83,14 +83,18 @@ def _stage_raw(ds, model, max_batches: int | None = None):
         n_batches = min(n_batches, max_batches)
     key = (id(cp), size, n_batches * batch)
     hit = _RAW_CACHE.get(key)
-    if hit is None:
+    # the value holds a STRONG ref to the corpus and the hit re-checks
+    # identity: a plain id() key could alias a NEW corpus allocated at
+    # a GC-reused address with the same size/span and silently serve
+    # stale device data
+    if hit is None or hit[0] is not cp:
         data, labels = cp._read(0, n_batches * batch)
         buf = jnp.asarray(data)          # u8 stays u8 on device
         lab = jnp.asarray(labels, jnp.int32)
         if len(_RAW_CACHE) > 8:          # bound device residency
             _RAW_CACHE.clear()
-        _RAW_CACHE[key] = hit = (buf, lab)
-    return hit[0], hit[1], n_batches
+        _RAW_CACHE[key] = hit = (cp, buf, lab)
+    return hit[1], hit[2], n_batches
 
 
 def _mesh_from_env():
