@@ -241,16 +241,10 @@ def bench_mnist(n_steps: int = 30, batch: int = 100, reps: int = 7):
         #                         optimistic on the tunnel)
         return (time.perf_counter() - t0) * 1000.0 / (2 * n_batches)
 
-    def nn_train_ms_per_batch():
-        """one epoch + its loss readback — the per-batch cost of
-        driving nn.train from the REPL (the VERDICT r2 item-2
-        comparison), also taken inside the word rep's window"""
-        t0 = time.perf_counter()
-        l = epoch(params, opt, xs, ys, key)[2]
-        float(l)
-        return (time.perf_counter() - t0) * 1000.0 / n_batches
-
-    return ms_samples, sps_samples, scan_ms_per_batch, nn_train_ms_per_batch
+    # (the r4-era nn_train_ms_per_batch timer is gone: the word/nn.train
+    # ratio is now measured against the REAL nn.train word in-REPL —
+    # bench_word_epoch — not a re-timed scan executable)
+    return ms_samples, sps_samples, scan_ms_per_batch
 
 
 def _repl():
@@ -359,7 +353,7 @@ def bench_word_matmul(reps: int = 5):
 
 
 def bench_word_epoch(n_batches: int = 100, batch: int = 100,
-                     reps: int = 7, scan_timer=None, nn_timer=None):
+                     reps: int = 7, scan_timer=None):
     """t4_30e inner training loop VERBATIM (forward / loss.ce lox ! /
     nn.hit hit +! / backprop / nn.adam per batch) — the interactive
     word-at-a-time path with deferred-scalar futures.  Returns
@@ -370,9 +364,9 @@ def bench_word_epoch(n_batches: int = 100, batch: int = 100,
     A/B pairs).
 
     The nn.train comparator is the PRODUCT surface itself (`bm bds
-    0.001 2 nn.train` through the REPL — staging, epoch executable,
+    0.001 4 nn.train` through the REPL — staging, epoch executable,
     loss readback and parameter write_back included), at the same
-    2-epochs-per-sync window shape as the word timing.  r4's
+    4-epochs-per-sync window shape as the word timing.  r4's
     comparator was the scan executable re-timed at ONE epoch per
     readback, so its "0.47 ratio" measured tunnel readback
     amortization (~30 ms RTT over 64 vs 128 batches), not nn.train —
@@ -829,7 +823,7 @@ def bench_serving_big(batch: int = 8, kv: int = 4096, dim: int = 1024,
         opt_samples.append(batch * n_new / (time.perf_counter() - t0))
     dh = dim // heads
     cache_gb_per_step = layers * 2 * batch * heads * kv * dh * 4 / 1e9
-    return samples, opt_samples, cache_gb_per_step
+    return samples, opt_samples, cache_gb_per_step, batch
 
 
 def bench_prefill(batch: int = 8, n_prompt: int = 2048, n_new: int = 64,
@@ -992,7 +986,7 @@ def main():
             details["gemm_strict_vs_xla_high_spread"] = ts
             headline = hm
 
-    ms_steps, sps_epoch, scan_timer, nn_timer = bench_mnist()
+    ms_steps, sps_epoch, scan_timer = bench_mnist()
     m, s = _med_spread(ms_steps, 3)
     details["mnist_cnn_ms_per_batch100_med"] = m
     details["mnist_cnn_ms_per_batch100_spread"] = s
@@ -1026,8 +1020,7 @@ def main():
     details["eforth_vs_ref_hostmode_97.7"] = round(m / 97.7, 2)
     details["eforth_vs_ceforth50x"] = round(m / 127.4, 2)
 
-    wb, wr, wn = bench_word_epoch(scan_timer=scan_timer,
-                                  nn_timer=nn_timer)
+    wb, wr, wn = bench_word_epoch(scan_timer=scan_timer)
     m, s = _med_spread(wb, 3)
     details["word_epoch_ms_per_batch100_med"] = m
     details["word_epoch_ms_per_batch100_spread"] = s
@@ -1060,13 +1053,13 @@ def main():
         print(f"[bench] serving failed: {e}", file=sys.stderr, flush=True)
 
     try:
-        big, opt, cache_gb = bench_serving_big()
+        big, opt, cache_gb, sbatch = bench_serving_big()
         m, s = _med_spread(big, 0)
         details["lm_decode_big_tokens_per_sec_med"] = m
         details["lm_decode_big_tokens_per_sec_spread"] = s
         # per-step kernel time and achieved cache bandwidth: the whole
         # decode is one dispatched program, so dispatch is ~0 of this
-        step_ms = 8.0 * 1e3 / m          # batch 8 tokens per step
+        step_ms = sbatch * 1e3 / m       # batch tokens per step
         details["lm_decode_big_step_ms"] = round(step_ms, 4)
         details["lm_decode_big_cache_gbps"] = round(
             cache_gb / (step_ms / 1e3), 1)

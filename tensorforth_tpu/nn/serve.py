@@ -279,12 +279,16 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
                 ids0, nxt, n_prompt, 1)
         t0 = n_prompt
     carry = (ids0, caches, key)
-    if win <= 0 or win >= s_max:
-        if t0 < s_max - 1:
-            carry, _ = jax.lax.scan(step_w(0), carry,
-                                    jnp.arange(t0, s_max - 1))
+    if t0 >= s_max - 1:
+        pass                           # nothing to decode (n_new == 0)
+    elif win <= 0 or win >= s_max:
+        carry, _ = jax.lax.scan(step_w(0), carry,
+                                jnp.arange(t0, s_max - 1))
     else:
-        # segment [t0, t1) may read positions 0..t1-1 -> window t1
+        # segment [t0, t1) may read positions 0..t1-1 -> window t1.
+        # t0 < s_max - 1 here, so the doubling reaches w >= t0 + 1
+        # before (or at) the s_max cap — no stall when the prompt
+        # already fills the sequence
         w = win
         while w < t0 + 1:
             w = min(w * 2, s_max)

@@ -248,6 +248,8 @@ def _make_epoch(program, lr: float, batch: int, in_shape, classes: int,
 
 def train_epochs(model, ds, lr: float = 1e-3, epochs: int = 1,
                  trace: int = 0) -> float:
+    if epochs <= 0:                    # `0 nn.train` is a no-op, not a
+        return 0.0                     # crash on the unassigned loss
     program = model._program()
     params = model._params()
     opt_m = tuple(tuple(jnp.zeros_like(w) for w in pl) for pl in params)

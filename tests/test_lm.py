@@ -181,3 +181,47 @@ def test_prefill_matches_sequential(t4):
         both = generate(m, prompt, n_new=16, temp=0.0, prefill=True,
                         win=8, kv_dtype="bfloat16")
         np.testing.assert_array_equal(seq, both)
+
+
+def test_prefill_moe_lm_matches_sequential(t4):
+    """the _prefill MOE branch (expert FFN on the whole [N,S0,D]
+    prompt) must agree with the per-token sequential routing"""
+    import numpy as np
+    from tensorforth_tpu.models.zoo import _new_model
+    from tensorforth_tpu.nn.ntypes import Layer
+    from tensorforth_tpu.nn.serve import generate
+    m = _new_model(1, 24, 1, 1)
+    m.add(Layer.EMBED, 16, 16.0)
+    m.add(Layer.LNORM)
+    m.add(Layer.ATTN, 4, 1.0)               # causal
+    m.add(Layer.MOE, 4, 32.0, [2])          # 4 experts, top-2
+    m.add(Layer.TANH)
+    m.add(Layer.PROJ, 16)
+    m.add(Layer.SOFTMAX)
+    prompt = np.array([3, 1, 4, 1, 5, 9, 2, 6], np.int32)
+    seq = generate(m, prompt, n_new=16, temp=0.0, prefill=False)
+    pre = generate(m, prompt, n_new=16, temp=0.0, prefill=True)
+    np.testing.assert_array_equal(seq, pre, "MoE prefill diverged")
+
+
+def test_generate_n_new_zero(t4):
+    """n_new=0 must return the prompt unchanged and not hang — the
+    windowed path's first-segment doubling stalled forever at
+    t0 == s_max (review finding, r5)"""
+    import numpy as np
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn.serve import generate
+    m = tiny_lm(batch=1, seq=16, vocab=16, dim=16, heads=4, layers=1)
+    prompt = np.arange(12, dtype=np.int32) % 16
+    for win in (0, 8):
+        out = generate(m, prompt, n_new=0, temp=0.0, win=win)
+        np.testing.assert_array_equal(out, prompt)
+
+
+def test_nn_train_zero_epochs(t4):
+    """`0 nn.train` must be a no-op, not an UnboundLocalError (review
+    finding, r5)"""
+    from tensorforth_tpu.models import mnist_cnn
+    from tensorforth_tpu.nn.train import train_epochs
+    m = mnist_cnn(batch=10)
+    assert train_epochs(m, None, epochs=0) == 0.0
