@@ -823,8 +823,11 @@ class NetVM(TensorVM):
         def _nn_train(vm):
             """( M D lr epochs -- M ) extension word: train the model on
             the dataset with Adam for n epochs as ONE lax.scan-jitted XLA
-            program per epoch — the device-resident path bench.py measures
-            (~80x the per-word dispatch loop on a tunneled chip)."""
+            program per epoch — the device-resident path bench.py
+            measures (r5: beats even the fused/chunked word loop ~1.4x
+            at multi-epoch calls once its per-call costs are cached —
+            nn/train.py; the '~80x' of early rounds compared against the
+            then-unfused per-word dispatch loop)."""
             if not (vm.ss.size() > 2 and vm.IS_M(vm.ss[-3])):
                 vm.sys.perr("", "M D lr epochs nn.train? ")
                 return
