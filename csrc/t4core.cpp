@@ -459,7 +459,35 @@ L_LIT: {
         h.ss[h.ssi++] = h.tos;
         if (__builtin_expect(uv & 1u, 0)) uv |= 3u;    // dup_du
         h.tos = u2f(uv);
-        if (u & 0x80000000u) h.ip = d2i(rpop(h));      // fused exit
+        if (u & 0x80000000u) {                         // fused exit
+            h.ip = d2i(rpop(h));
+            DISPATCH();
+        }
+        // LIT+stack-word superinstruction: peek the next cell and run
+        // the hot native stack words inline — the common `lit op`
+        // pair then costs ONE indirect jump instead of two.  Fuse
+        // only plain CALL cells (no udf/flag bits; the handlers below
+        // are the IDENTICAL code L_CALL jumps to, so semantics —
+        // including tagged-object handling in dup_du/drop_du — are
+        // unchanged).  Any other cell falls through to DISPATCH.
+        if (__builtin_expect(
+                (uint32_t)h.ip <= (uint32_t)(pmem_sz - 8), 1)) {
+            memcpy(&u, pm + h.ip, 4);
+            if (((u >> 24) & 0x1F) >= 12 && !(u & 0xC0000000u)) {
+                uint32_t io2 = u & 0xFFFFFF;
+                int16_t nid2 = (int32_t)io2 < table_len
+                               ? table[io2] : (int16_t)-1;
+                switch (nid2) {
+                case W_DROP:  h.ip += 4; goto N_DROP;
+                case W_DUP:   h.ip += 4; goto N_DUP;
+                case W_SWAP:  h.ip += 4; goto N_SWAP;
+                case W_OVER:  h.ip += 4; goto N_OVER;
+                case W_TOR:   h.ip += 4; goto N_TOR;
+                case W_RFROM: h.ip += 4; goto N_RFROM;
+                case W_I:     h.ip += 4; goto N_I;
+                }
+            }
+        }
         DISPATCH();
     }
 L_NEXT:
