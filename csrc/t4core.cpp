@@ -485,6 +485,22 @@ L_LIT: {
                 case W_TOR:   h.ip += 4; goto N_TOR;
                 case W_RFROM: h.ip += 4; goto N_RFROM;
                 case W_I:     h.ip += 4; goto N_I;
+                default:
+                    // any other NATIVE word (`1 +`, `2 *`, `10 <`…):
+                    // same guard as L_CALL — value-consuming ALU/logic
+                    // words bail to the normal path when an operand is
+                    // a tagged object (python's xop dispatch handles
+                    // those); everything else runs inline
+                    if (nid2 >= 0 &&
+                        !(nid2 >= W_ADD && nid2 <= W_UGT &&
+                          (is_obj(h.tos) ||
+                           (h.ssi > 0 && is_obj(h.ss[h.ssi - 1])) ||
+                           ((nid2 == W_MULDIV || nid2 == W_MULDIVMOD) &&
+                            h.ssi > 1 && is_obj(h.ss[h.ssi - 2]))))) {
+                        h.ip += 4;
+                        native_word_h(vm, h, nid2);
+                        DISPATCH();
+                    }
                 }
             }
         }
