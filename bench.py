@@ -813,7 +813,10 @@ def bench_serving_big(batch: int = 8, kv: int = 4096, dim: int = 1024,
     print("[bench] compiling optimized decode (bf16 KV + windows) ...",
           file=sys.stderr, flush=True)
     generate(m, prompt, n_new, kv_dtype="bfloat16", win=512)
-    samples, opt_samples = [], []
+    print("[bench] compiling int8-KV decode ...", file=sys.stderr,
+          flush=True)
+    generate(m, prompt, n_new, kv_dtype="int8", win=512)
+    samples, opt_samples, q8_samples = [], [], []
     for _ in range(reps):                       # interleaved per rep
         t0 = time.perf_counter()
         generate(m, prompt, n_new, kv_dtype="float32", win=0)
@@ -821,9 +824,12 @@ def bench_serving_big(batch: int = 8, kv: int = 4096, dim: int = 1024,
         t0 = time.perf_counter()
         generate(m, prompt, n_new, kv_dtype="bfloat16", win=512)
         opt_samples.append(batch * n_new / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        generate(m, prompt, n_new, kv_dtype="int8", win=512)
+        q8_samples.append(batch * n_new / (time.perf_counter() - t0))
     dh = dim // heads
     cache_gb_per_step = layers * 2 * batch * heads * kv * dh * 4 / 1e9
-    return samples, opt_samples, cache_gb_per_step, batch
+    return samples, opt_samples, q8_samples, cache_gb_per_step, batch
 
 
 def bench_prefill(batch: int = 8, n_prompt: int = 2048, n_new: int = 64,
@@ -1053,7 +1059,7 @@ def main():
         print(f"[bench] serving failed: {e}", file=sys.stderr, flush=True)
 
     try:
-        big, opt, cache_gb, sbatch = bench_serving_big()
+        big, opt, q8, cache_gb, sbatch = bench_serving_big()
         m, s = _med_spread(big, 0)
         details["lm_decode_big_tokens_per_sec_med"] = m
         details["lm_decode_big_tokens_per_sec_spread"] = s
@@ -1067,6 +1073,10 @@ def main():
         details["lm_decode_big_opt_tokens_per_sec_med"] = m2
         details["lm_decode_big_opt_spread"] = s2
         details["lm_decode_big_opt_speedup"] = round(m2 / m, 2)
+        m3, s3 = _med_spread(q8, 0)
+        details["lm_decode_big_int8_tokens_per_sec_med"] = m3
+        details["lm_decode_big_int8_spread"] = s3
+        details["lm_decode_big_int8_speedup"] = round(m3 / m, 2)
     except Exception as e:
         print(f"[bench] big serving failed: {e}", file=sys.stderr,
               flush=True)
@@ -1163,7 +1173,7 @@ def main():
         "flash_attn_bwd_2k_hybrid_tflops_med",
         "lm_decode_tokens_per_sec_med", "lm_decode_big_tokens_per_sec_med",
         "lm_decode_big_opt_tokens_per_sec_med", "lm_decode_big_opt_speedup",
-        "lm_prefill2k_speedup",
+        "lm_decode_big_int8_speedup", "lm_prefill2k_speedup",
         "t4_30e_test_accuracy_20ep", "real_digits_accuracy",
         "gate_corpus") if k in details}
     print(json.dumps({

@@ -43,9 +43,12 @@ class Config:
     PRECISION = os.environ.get("T4_PRECISION", "fast")
 
     # --- serving (nn/serve.py; see bench_serving_big for the numbers)
-    # KV cache STORAGE dtype: 'bfloat16' halves the per-step cache
-    # stream that bounds decode at production shapes (scores/softmax/
-    # output stay f32); default f32 keeps exact reference-class
+    # KV cache STORAGE dtype: 'bfloat16' halves, 'int8' quarters the
+    # per-step cache stream that bounds decode at production shapes
+    # (int8 = symmetric per-vector scales, lossless int8->bf16 load
+    # cast, scales folded into the f32 scores/softmax weights;
+    # scores/softmax/output stay f32); default f32 keeps exact
+    # reference-class
     # numerics.  T4_DECODE_WIN=N sets power-of-two windowed decode —
     # mathematically EXACT (same ops over a statically smaller cache
     # prefix), so it defaults ON at 512: decodes with s_max <= 512 are

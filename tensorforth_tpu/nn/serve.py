@@ -45,6 +45,19 @@ def _check_program(program):
                 "(build with `1 h nn.attn`)")
 
 
+def _quant8(v):
+    """symmetric per-vector int8 quantization: v [..., dh] ->
+    (q int8 [..., dh], scale f32 [...]).  One scale per (batch, head,
+    position) vector — the dequantized value is q * scale.  int8
+    values are integers <= 127, so the int8 -> bfloat16 load cast in
+    the attention dots is LOSSLESS (bf16's 8-bit mantissa covers
+    |x| <= 256 exactly); the only quantization error is the rounding
+    here, ~0.4% RMS per element."""
+    s = jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-8) / 127.0
+    q = jnp.round(v / s[..., None]).astype(jnp.int8)
+    return q, s
+
+
 def _step_token(program, params, caches, tok, t, s_max, w: int = 0):
     """one decode step: tok [N] int32 ids at position t -> logits [N,V]
     plus updated caches.  `w` (static) limits the attention read to the
@@ -84,26 +97,42 @@ def _step_token(program, params, caches, tok, t, s_max, w: int = 0):
                 pos = jnp.asarray(t, jnp.int32).reshape(1)
                 q = funcs.rope_apply(q[:, :, None, :], pos)[:, :, 0]
                 k1 = funcs.rope_apply(k1[:, :, None, :], pos)[:, :, 0]
-            ck, cv = new_caches[ci]
+            ck, cv, sk, sv = new_caches[ci]
             kd = ck.dtype                               # cache storage dtype
+            quant = sk is not None                      # int8 + scales
+            if quant:
+                k1, k1s = _quant8(k1)
+                v1, v1s = _quant8(v1)
+                sk = jax.lax.dynamic_update_index_in_dim(sk, k1s, t, 2)
+                sv = jax.lax.dynamic_update_index_in_dim(sv, v1s, t, 2)
             ck = jax.lax.dynamic_update_index_in_dim(ck, k1.astype(kd),
                                                      t, 2)
             cv = jax.lax.dynamic_update_index_in_dim(cv, v1.astype(kd),
                                                      t, 2)
-            new_caches[ci] = (ck, cv)
+            new_caches[ci] = (ck, cv, sk, sv)
             ci += 1
             span = w if 0 < w < s_max else s_max
             ckr = jax.lax.slice_in_dim(ck, 0, span, axis=2)
             cvr = jax.lax.slice_in_dim(cv, 0, span, axis=2)
             # hybrid-GEMM treatment when the cache is bf16: bf16
-            # multiplicands, f32 accumulation (scores/softmax stay f32)
-            scores = jnp.einsum("nhd,nhsd->nhs", q.astype(kd), ckr,
+            # multiplicands, f32 accumulation (scores/softmax stay f32).
+            # int8 caches load as bf16 (lossless cast, see _quant8) and
+            # dequantize by folding the scales into the f32 score /
+            # softmax-weight tensors — the HBM stream is the int8 bytes.
+            md = jnp.bfloat16 if quant else kd
+            scores = jnp.einsum("nhd,nhsd->nhs", q.astype(md),
+                                ckr.astype(md),
                                 preferred_element_type=jnp.float32)
+            if quant:
+                scores = scores * jax.lax.slice_in_dim(sk, 0, span, axis=2)
             scores = scores / jnp.sqrt(jnp.float32(dh))
             pos = jax.lax.broadcasted_iota(jnp.int32, (span,), 0)
             scores = jnp.where(pos[None, None, :] <= t, scores, -1.0e30)
             wts = jax.nn.softmax(scores, axis=-1)
-            o = jnp.einsum("nhs,nhsd->nhd", wts.astype(kd), cvr,
+            if quant:
+                wts = wts * jax.lax.slice_in_dim(sv, 0, span, axis=2)
+            o = jnp.einsum("nhs,nhsd->nhd", wts.astype(md),
+                           cvr.astype(md),
                            preferred_element_type=jnp.float32)
             x = jnp.dot(o.reshape(n, e), p[1].T,
                         preferred_element_type=jnp.float32
@@ -154,13 +183,21 @@ def _prefill(program, params, prompt, caches):
                 pos = jnp.arange(s0)
                 q = funcs.rope_apply(q, pos)
                 k1 = funcs.rope_apply(k1, pos)
-            ck, cv = new_caches[ci]
+            ck, cv, sk, sv = new_caches[ci]
             kd = ck.dtype
-            ck = jax.lax.dynamic_update_slice(
-                ck, k1.astype(kd), (0, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v1.astype(kd), (0, 0, 0, 0))
-            new_caches[ci] = (ck, cv)
+            if sk is not None:                          # int8 + scales
+                k1q, k1s = _quant8(k1)
+                v1q, v1s = _quant8(v1)
+                sk = jax.lax.dynamic_update_slice(sk, k1s, (0, 0, 0))
+                sv = jax.lax.dynamic_update_slice(sv, v1s, (0, 0, 0))
+                ck = jax.lax.dynamic_update_slice(ck, k1q, (0, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v1q, (0, 0, 0, 0))
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k1.astype(kd), (0, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v1.astype(kd), (0, 0, 0, 0))
+            new_caches[ci] = (ck, cv, sk, sv)
             ci += 1
             # the training tier's attention core: flash kernel for
             # long aligned prompts (S0 x S0 never hits HBM — at a 2k
@@ -208,9 +245,12 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
     in one scanned executable; greedy when temp == 0; optional top-k
     and/or nucleus top-p filtering before the categorical draw).
 
-    kv_dtype: KV cache STORAGE dtype ('float32' or 'bfloat16') —
-    bfloat16 halves the per-step cache stream (decode's bound at
-    production shapes); scores/softmax/output stay f32.
+    kv_dtype: KV cache STORAGE dtype ('float32', 'bfloat16' or
+    'int8') — bfloat16 halves and int8 quarters the per-step cache
+    stream (decode's bound at production shapes); int8 stores one f32
+    scale per cached vector (_quant8) and dequantizes by folding the
+    scales into the f32 scores/softmax weights; scores/softmax/output
+    stay f32 on every path.
 
     win > 0 enables WINDOWED decode: the step scan splits into
     power-of-two segments (win, 2*win, ... s_max) and each segment's
@@ -231,10 +271,20 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
             e = shape[2]
             heads_dims.append((opts[0], e // opts[0]))
     kd = jnp.dtype(kv_dtype)
-    caches = tuple(
-        (jnp.zeros((n, h, s_max, d), kd),
-         jnp.zeros((n, h, s_max, d), kd))
-        for h, d in heads_dims)
+    if kd == jnp.int8:
+        # int8 storage + one f32 scale per cached vector: the scale
+        # stream adds dh/4 bytes per dh int8 bytes (~3% at dh=128)
+        caches = tuple(
+            (jnp.zeros((n, h, s_max, d), jnp.int8),
+             jnp.zeros((n, h, s_max, d), jnp.int8),
+             jnp.ones((n, h, s_max), jnp.float32),
+             jnp.ones((n, h, s_max), jnp.float32))
+            for h, d in heads_dims)
+    else:
+        caches = tuple(
+            (jnp.zeros((n, h, s_max, d), kd),
+             jnp.zeros((n, h, s_max, d), kd), None, None)
+            for h, d in heads_dims)
     ids0 = jnp.zeros((n, s_max), jnp.int32)
     ids0 = jax.lax.dynamic_update_slice(ids0, prompt, (0, 0))
 
@@ -308,11 +358,11 @@ def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
     """prompt_ids: [N, S0] (or [S0]) int array -> [N, S0+n_new] ids;
     temp=0 is greedy; top_k/top_p filter the distribution when temp>0.
 
-    kv_dtype ('float32'/'bfloat16', default env T4_KV_DTYPE or f32)
-    sets the KV cache storage dtype; win (default env T4_DECODE_WIN
-    or 0=off) enables power-of-two windowed decode — both cut the
-    per-step cache stream that bounds decode at production shapes
-    (bench_serving_big)."""
+    kv_dtype ('float32'/'bfloat16'/'int8', default env T4_KV_DTYPE or
+    f32) sets the KV cache storage dtype; win (default env
+    T4_DECODE_WIN or 0=off) enables power-of-two windowed decode —
+    both cut the per-step cache stream that bounds decode at
+    production shapes (bench_serving_big)."""
     from ..config import Config
     program = model._program()
     _check_program(program)

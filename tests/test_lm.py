@@ -162,6 +162,27 @@ def test_generate_windowed_matches_baseline(t4):
     np.testing.assert_array_equal(base, both)
 
 
+def test_generate_int8_kv_matches_baseline(t4):
+    """int8 KV cache (symmetric per-vector scales, serve._quant8):
+    quantization error ~0.4% RMS must not flip greedy argmaxes on
+    this model — alone, with windows, and prefill vs sequential
+    (both quantize stored KV the same way)"""
+    import numpy as np
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn.serve import generate
+    m = tiny_lm(batch=1, seq=24, vocab=16, dim=16, heads=4, layers=2)
+    prompt = np.array([3, 1, 4, 1], np.int32)
+    base = generate(m, prompt, n_new=20, temp=0.0)
+    q8 = generate(m, prompt, n_new=20, temp=0.0, kv_dtype="int8")
+    np.testing.assert_array_equal(base, q8, "int8 cache flipped tokens")
+    q8w = generate(m, prompt, n_new=20, temp=0.0, kv_dtype="int8", win=8)
+    np.testing.assert_array_equal(base, q8w)
+    seq = generate(m, prompt, n_new=20, temp=0.0, kv_dtype="int8",
+                   prefill=False)
+    np.testing.assert_array_equal(q8, seq,
+                                  "int8 prefill/sequential diverged")
+
+
 def test_prefill_matches_sequential(t4):
     """batched prefill (one causal forward filling the KV caches) must
     be token-identical to the sequential prompt replay for greedy
