@@ -771,6 +771,12 @@ static int32_t t4_outer_body(T4VM *vm, const T4Dict *dict,
                 else guarded_cb(G, cb, w);                             // python word
             }
             if (vm->py_flags & PYF_FAULT)  return OUT_DONE;  // abort line
+            // interactive word completed: back to input mode.  The
+            // reference leaves NEST and runs NEST VMs anyway
+            // (ten4.cu:78-86); here NEST is reserved for thread-busy
+            // task VMs, so a lingering NEST would make the CLI sweep
+            // skip this VM and silently drain stdin.
+            if (vm->state == ST_NEST) vm->state = ST_QUERY;
             if (vm->state == ST_HOLD) return OUT_HOLD;
             if (vm->py_flags & PYF_TENLVL) return OUT_REENTER;
             if (vm->py_flags & PYF_DIRTY)  return OUT_REENTER;

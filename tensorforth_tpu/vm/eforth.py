@@ -69,6 +69,8 @@ class ForthVM(VM):
 
     def resume(self):
         self.nest()
+        if self.state == VMState.NEST:     # finished: back to input mode
+            self.state = VMState.QUERY
         self.post()
 
     def outer(self):
@@ -94,6 +96,15 @@ class ForthVM(VM):
             else:
                 self.ip = 0
                 self.call(w)
+                if self.state == VMState.NEST:
+                    # interactive word completed: back to input mode.
+                    # The reference leaves NEST here but its dispatcher
+                    # runs NEST VMs anyway (ten4.cu:78-86 _vm_exec0);
+                    # ours reserves NEST for genuinely thread-busy task
+                    # VMs (vm/multitask.py), so a completed top-level
+                    # call must hand the VM back to QUERY or the CLI
+                    # sweep skips it and silently drains stdin.
+                    self.state = VMState.QUERY
         except Exception as ex:            # keep the REPL alive on word errors
             self.sys.perr("", f"ERROR in '{idiom}': {ex} ")
             if self.sys.trace:

@@ -132,3 +132,22 @@ def test_t4_53_lm(t4):
 def test_t4_54_rope(t4, monkeypatch):
     out = run_script(t4, "t4_54_rope.4th")
     assert "greedy:" in out and "top-k2:" in out and "top-p.9:" in out
+
+
+@pytest.mark.slow
+def test_cli_subprocess_pipes_full_script():
+    """the REAL launcher surface: `python ten4 < script` must execute
+    every line to `bye`.  Regression for the r5 CLI bug: a top-level
+    colon-word call left the VM in NEST, _run_pool skipped it, and
+    main_loop silently drained the rest of stdin — piped scripts died
+    at their first udf call (test_vmpool.py has the in-process unit;
+    this one covers the launcher + native engine end-to-end)."""
+    import subprocess
+    import sys as _sys
+    root = os.path.join(os.path.dirname(__file__), "..")
+    script = ": sq dup * ;\n5 sq .\n6 sq .\nbye\n"
+    r = subprocess.run([_sys.executable, os.path.join(root, "ten4")],
+                       input=script, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "25 " in r.stdout and "36 " in r.stdout

@@ -115,3 +115,28 @@ def test_single_vm_pool_unchanged(t4):
     t4.forth("1 trace")
     t4.main_loop()
     assert "VM[0]" in t4.capture.getvalue()
+
+def test_main_loop_continues_after_udf_word(t4):
+    """regression: an interactively-executed colon word used to leave
+    the VM in NEST, and main_loop's dispatcher (which, unlike the
+    reference ten4.cu:78-86 _vm_exec0, reserves NEST for thread-busy
+    task VMs) then skipped the VM while readline() silently drained
+    the rest of stdin — scripts piped to `python ten4` died at their
+    first udf call (t4_53_lm.4th stopped at `100 train`).  A completed
+    top-level call must hand the VM back to QUERY."""
+    import io as _io
+    from tensorforth_tpu.vm.vm import VMState
+    t4.sys.fin = _io.StringIO(": sq dup * ;\n3 sq .\n4 sq .\nbye\n")
+    t4.main_loop()
+    out = t4.capture.getvalue()
+    assert "9 " in out and "16 " in out
+    assert t4.vm.state == VMState.STOP       # bye reached
+
+
+def test_main_loop_udf_word_multi_vm_pool(t4pool):
+    """same regression through the pool dispatcher (_run_pool), which
+    is the path the real CLI always takes"""
+    import io as _io
+    t4pool.sys.fin = _io.StringIO(": cube dup dup * * ;\n3 cube .\nbye\n")
+    t4pool.main_loop()
+    assert "27 " in t4pool.capture.getvalue()
