@@ -233,14 +233,42 @@ def _filter_top_p(logits, p: float):
     return jnp.where(logits < thr, -1.0e30, logits)
 
 
+def _shard_serving(mesh, program, params, caches, ids0):
+    """T4_MESH for the serving tier: batch over 'dp', attention heads
+    over 'tp' (the KV caches — decode's dominant HBM stream — split
+    [N/dp, h/tp, S, dh] per device; the per-head attention einsums are
+    embarrassingly SPMD and the output projection's contraction is the
+    one collective XLA inserts).  Parameters take the training tier's
+    layout (parallel/mesh.shard_params: wqkv row-, wo column-sharded
+    over 'tp').  Same zero-overhead contract as the word path: no mesh,
+    no constraint anywhere."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import shard_params
+    hax = "tp" if "tp" in mesh.axis_names else None
+    kv_s = NamedSharding(mesh, P("dp", hax, None, None))
+    sc_s = NamedSharding(mesh, P("dp", hax, None))
+    wsc = jax.lax.with_sharding_constraint
+    caches = tuple(
+        (wsc(ck, kv_s), wsc(cv, kv_s),
+         None if sk is None else wsc(sk, sc_s),
+         None if sv is None else wsc(sv, sc_s))
+        for ck, cv, sk, sv in caches)
+    ids0 = wsc(ids0, NamedSharding(mesh, P("dp", None)))
+    psh = shard_params(mesh, program)
+    params = tuple(
+        tuple(wsc(a, s) for a, s in zip(pl, sl)) if pl and sl else pl
+        for pl, sl in zip(params, psh))
+    return params, caches, ids0
+
+
 @partial(jax.jit,
          static_argnames=("program", "s_max", "n_prompt", "temp",
                           "top_k", "top_p", "kv_dtype", "win",
-                          "prefill"))
+                          "prefill", "mesh"))
 def _generate(program, params, prompt, s_max: int, n_prompt: int,
               temp: float, key, top_k: int = 0, top_p: float = 0.0,
               kv_dtype: str = "float32", win: int = 0,
-              prefill: bool = True):
+              prefill: bool = True, mesh=None):
     """prompt [N, n_prompt] int32 -> ids [N, s_max] (prefill + decode
     in one scanned executable; greedy when temp == 0; optional top-k
     and/or nucleus top-p filtering before the categorical draw).
@@ -287,6 +315,9 @@ def _generate(program, params, prompt, s_max: int, n_prompt: int,
             for h, d in heads_dims)
     ids0 = jnp.zeros((n, s_max), jnp.int32)
     ids0 = jax.lax.dynamic_update_slice(ids0, prompt, (0, 0))
+    if mesh is not None:
+        params, caches, ids0 = _shard_serving(mesh, program, params,
+                                              caches, ids0)
 
     def pick(logits, key):
         """sample/argmax the next token from [N, V] logits"""
@@ -376,10 +407,23 @@ def generate(model, prompt_ids, n_new: int, temp: float = 0.0,
         kv_dtype = Config.KV_DTYPE
     if win is None:
         win = Config.DECODE_WIN
+    # T4_MESH engages the serving tier exactly like the word path
+    # (funcs.word_mesh): batch over 'dp', heads over 'tp'.  Degrade to
+    # single-device when the batch/head counts don't divide the mesh —
+    # a laptop run with a pod T4_MESH in the env must still serve.
+    mesh = funcs.word_mesh()
+    if mesh is not None:
+        dp = mesh.shape.get("dp", 1)
+        tp = mesh.shape.get("tp", 1)
+        heads_ok = all(opts[0] % tp == 0
+                       for kind, opts, _s in program
+                       if kind == Layer.ATTN)
+        if p.shape[0] % dp or not heads_ok:
+            mesh = None
     ids = _generate(program, params, jnp.asarray(p), s_max, p.shape[1],
                     float(temp), jax.random.PRNGKey(seed),
                     int(top_k), float(top_p),
                     kv_dtype=str(kv_dtype), win=int(win),
-                    prefill=bool(prefill))
+                    prefill=bool(prefill), mesh=mesh)
     out = np.asarray(ids)
     return out[0] if squeeze else out

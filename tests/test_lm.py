@@ -246,3 +246,48 @@ def test_nn_train_zero_epochs(t4):
     from tensorforth_tpu.nn.train import train_epochs
     m = mnist_cnn(batch=10)
     assert train_epochs(m, None, epochs=0) == 0.0
+
+
+@pytest.mark.parametrize("spec", ["dp2", "dp2,tp2"])
+def test_generate_mesh_sharded_matches_single_device(t4, monkeypatch,
+                                                     spec):
+    """T4_MESH engages the serving tier (serve._shard_serving): batch
+    over 'dp', heads over 'tp', KV caches split [N/dp, h/tp, S, dh].
+    Greedy tokens must be identical to the single-device program —
+    same ops, different layout — for f32, bf16 and int8 caches, with
+    windows, and through the batched prefill."""
+    import numpy as np
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn import funcs
+    from tensorforth_tpu.nn.serve import generate
+    m = tiny_lm(batch=4, seq=24, vocab=16, dim=16, heads=4, layers=2,
+                rope=True)
+    rs = np.random.RandomState(3)
+    prompt = rs.randint(0, 16, (4, 6)).astype(np.int32)
+    monkeypatch.delenv("T4_MESH", raising=False)
+    base = generate(m, prompt, n_new=16, temp=0.0)
+    base_q8 = generate(m, prompt, n_new=16, temp=0.0, kv_dtype="int8",
+                       win=8)
+    monkeypatch.setenv("T4_MESH", spec)
+    assert funcs.word_mesh() is not None, "mesh did not build"
+    sharded = generate(m, prompt, n_new=16, temp=0.0)
+    np.testing.assert_array_equal(base, sharded,
+                                  f"{spec} flipped greedy tokens")
+    sh_q8 = generate(m, prompt, n_new=16, temp=0.0, kv_dtype="int8",
+                     win=8)
+    np.testing.assert_array_equal(base_q8, sh_q8)
+
+
+def test_generate_mesh_degrades_on_indivisible(t4, monkeypatch):
+    """batch or heads not dividing the mesh -> silently single-device
+    (a laptop run with a pod T4_MESH must still serve)"""
+    import numpy as np
+    from tensorforth_tpu.models import tiny_lm
+    from tensorforth_tpu.nn.serve import generate
+    m = tiny_lm(batch=3, seq=16, vocab=16, dim=16, heads=4, layers=1)
+    prompt = np.array([[1, 2, 3]], np.int32).repeat(3, 0)
+    monkeypatch.delenv("T4_MESH", raising=False)
+    base = generate(m, prompt, n_new=8, temp=0.0)
+    monkeypatch.setenv("T4_MESH", "dp2")     # batch 3 % dp 2 != 0
+    out = generate(m, prompt, n_new=8, temp=0.0)
+    np.testing.assert_array_equal(base, out)
